@@ -1,0 +1,126 @@
+"""End-to-end report pipeline: pages -> entities/groups/tags/previews.
+
+Spark-first equivalent of the reference worker's inference job
+(internal/core/processor.go:174-406 + 688-787):
+
+    pages(url, warc_ts, html, text, lang)
+      -> extract_text      (byte-identity HTML->text, parser.go:98-122)
+      -> tag_documents     (one Arrow-batched model pass, tagger.py)
+      -> entities          (coalesced spans, schema.go:135-144)
+      -> object_groups     (group-query membership, schema.go:129-133)
+      -> report_tags       (per-label counts, schema.go:79-90)
+      -> object_previews   (token/tag segments, schema.go:146-150)
+
+The reference's RabbitMQ task fan-out and byte-budget shard planner are
+replaced by Spark scheduling + AQE; its incremental `count = count + ?`
+counters (processor.go:256-272, not idempotent) are replaced by recomputed
+aggregates so partition-level retries/resume cannot double-count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tagger import ReportConfig, explode_entities, explode_groups, tag_documents
+
+
+def extract_text(pages: DataFrame, validate: bool = False) -> DataFrame:
+    """HTML -> text extraction: identity byte->string decode.
+
+    The reference treats ``.html`` as plaintext passthrough
+    (internal/storage/parser.go:36-47,98-122): extracted text is exactly the
+    raw bytes decoded as UTF-8. JVM-side ``decode`` keeps this inside
+    whole-stage codegen; no Python involved.
+    """
+    extracted = pages.withColumn("text", F.decode(F.col("html"), "UTF-8"))
+    if validate:
+        bad = extracted.filter(~F.col("text").eqNullSafe(F.decode("html", "UTF-8")))
+        assert bad.isEmpty()
+    return extracted
+
+
+def text_invariant_violations(pages: DataFrame) -> DataFrame:
+    """Rows violating the per-row invariant text == decode(html, 'UTF-8')."""
+    return pages.filter(
+        ~F.col("text").eqNullSafe(F.decode(F.col("html"), "UTF-8"))
+    ).select("url")
+
+
+@dataclass
+class ReportOutput:
+    report_rows: DataFrame  # one row per document (cache/checkpoint unit)
+    entities: DataFrame  # url, label, text, start, end, l_context, r_context
+    object_groups: DataFrame  # url, group_name
+    report_tags: DataFrame  # tag, count (model labels)
+    custom_tag_counts: DataFrame  # tag, count (custom regex labels)
+    previews: DataFrame | None  # url, tokens, tags
+    token_counts: DataFrame  # url, total_tokens
+
+
+def run_report(pages: DataFrame, config: ReportConfig) -> ReportOutput:
+    """Build every output of one scan job from a single model pass."""
+    report_rows = tag_documents(pages, config)
+
+    entities = explode_entities(report_rows)
+    object_groups = explode_groups(report_rows)
+
+    custom_labels = [tag for tag, _ in config.custom_tags]
+    label_counts = entities.groupBy("label").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    report_tags = label_counts.filter(
+        ~F.col("label").isin(custom_labels) if custom_labels else F.lit(True)
+    ).withColumnRenamed("label", "tag")
+    custom_tag_counts = label_counts.filter(
+        F.col("label").isin(custom_labels) if custom_labels else F.lit(False)
+    ).withColumnRenamed("label", "tag")
+
+    previews = None
+    if config.build_previews:
+        previews = report_rows.select(
+            "url",
+            F.col("preview_tokens").alias("tokens"),
+            F.col("preview_tags").alias("tags"),
+        )
+
+    token_counts = report_rows.select("url", "total_tokens")
+
+    return ReportOutput(
+        report_rows=report_rows,
+        entities=entities,
+        object_groups=object_groups,
+        report_tags=report_tags,
+        custom_tag_counts=custom_tag_counts,
+        previews=previews,
+        token_counts=token_counts,
+    )
+
+
+def write_outputs(
+    out: ReportOutput, base_path: str, n_buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Materialize outputs as parquet, bucketed by hash(url) partition.
+
+    ``partition_id = pmod(xxhash64(url), n_buckets)`` gives (a) partition
+    pruning for per-bucket resume (checkpoint.py) and (b) co-location of all
+    rows of a url. On a cluster with Iceberg this maps to
+    ``bucket(n, url)`` partition transforms; plain parquet keeps the sandbox
+    dependency-free.
+    """
+    entities = out.entities.withColumn(
+        "partition_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+    )
+    entities.write.mode(mode).partitionBy("partition_id").parquet(
+        f"{base_path}/entities"
+    )
+    out.object_groups.write.mode(mode).parquet(f"{base_path}/object_groups")
+    out.report_tags.write.mode(mode).parquet(f"{base_path}/report_tags")
+    out.custom_tag_counts.write.mode(mode).parquet(
+        f"{base_path}/custom_tag_counts"
+    )
+    out.token_counts.write.mode(mode).parquet(f"{base_path}/token_counts")
+    if out.previews is not None:
+        out.previews.write.mode(mode).parquet(f"{base_path}/object_previews")

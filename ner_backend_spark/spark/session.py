@@ -1,0 +1,54 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point and scaled down by parameter for
+local testing:
+
+* AQE on (runtime partition coalescing + skew-join splitting) — replaces the
+  reference's greedy byte-budget shard planner
+  (internal/storage/file_system_connector_utils.go:12-63).
+* Arrow-batched Python UDFs with a bounded batch size — replaces the
+  reference's 16-text / 2 MB gRPC batching
+  (internal/core/python/model.go:176-215).
+* maxPartitionBytes sized so a scan partition's text fits executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+DEFAULT_ARROW_BATCH = 1024  # texts per Arrow record batch into pandas UDFs
+
+
+def get_spark(
+    app_name: str = "ner-backend-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(DEFAULT_ARROW_BATCH),
+        )
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
