@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each designed for the 100 TB regime:
+
+* exact          — hash-groupBy on md5(text): one shuffle on a 16-byte key.
+* minhash + LSH  — shingle -> minhash signature (vectorized numpy inside an
+                   Arrow-batched pandas UDF) -> band hashes -> bucket
+                   self-join. Candidate generation never compares all pairs;
+                   the shuffle key is the (band, band_hash) bucket.
+* simhash        — 64-bit weighted-word fingerprint; near-dup candidates via
+                   4x16-bit chunk banding (Hamming distance <= 3 guarantees
+                   one identical chunk by pigeonhole).
+* n-gram Jaccard — exact token-set Jaccard via array_intersect/union, for
+                   verifying candidate pairs (bounded pair lists only).
+
+All hashing is seed-fixed and content-derived (no Python hash()), so results
+are reproducible across runs, executors, and Python versions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+_MERSENNE = (1 << 61) - 1
+_HASH_RANGE = 1 << 32
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text_hash, group_size, canonical_id): members of exact-dup groups.
+
+    canonical_id = min id per hash; group_size > 1 filters to true dupes.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    groups = hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("id").alias("canonical_id"),
+    )
+    return hashed.join(groups, "text_hash").select(
+        "id", "text_hash", "group_size", "canonical_id"
+    )
+
+
+def _stable_hash32(token: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(token, digest_size=4).digest(), "big")
+
+
+def _word_shingles(text: str, k: int) -> np.ndarray:
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(
+        np.fromiter(
+            (_stable_hash32(s.encode("utf-8")) for s in shingles),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) via (a*h + b) mod p universal hashing."""
+    a, b = _minhash_params(num_hashes, seed)
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("signature", ArrayType(LongType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, text in zip(pdf[id_col].values, pdf[text_col].values):
+                h = _word_shingles(text or "", shingle_k)
+                # (a*h + b) mod p, vectorized over hashes x shingles
+                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                sig = vals.min(axis=1) % _HASH_RANGE
+                ids.append(i)
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"id": ids, "signature": sigs})
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(run, schema)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing >=1 LSH band bucket.
+
+    Scale shape: explode to bands (bands x |docs| rows), shuffle once on
+    (band, band_hash), self-join within buckets. Giant buckets (degenerate
+    content) are the skew risk — AQE skew-join splitting handles moderate
+    cases; pathological buckets should be capped upstream by filtering
+    near-empty texts.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(
+                            "signature", i * rows_per_band + 1, rows_per_band
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def estimated_jaccard(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, est_jaccard): fraction of agreeing minhash positions."""
+    sig_a = signatures.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.size("sig_a")
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash near-dup detection: (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = sigs.persist()
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return estimated_jaccard(sigs, pairs).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def token_jaccard(
+    df_pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact unigram-set Jaccard for given (id_a, id_b) pairs — JVM-side.
+
+    array_intersect/array_union on pre-tokenized arrays; used to verify LSH
+    candidates without Python.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
+    )
+    a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        df_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, simhash long): 64-bit weighted-word fingerprints."""
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, text in zip(pdf[id_col].values, pdf[text_col].values):
+                words = (text or "").split()
+                acc = np.zeros(64, dtype=np.int64)
+                for w, cnt in pd.Series(words).value_counts().items():
+                    h = int.from_bytes(
+                        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    bits = np.array(
+                        [(h >> k) & 1 for k in range(64)], dtype=np.int64
+                    )
+                    acc += (2 * bits - 1) * int(cnt)
+                sim = 0
+                for k in range(64):
+                    if acc[k] > 0:
+                        sim |= 1 << k
+                # store as signed 64-bit
+                if sim >= 1 << 63:
+                    sim -= 1 << 64
+                ids.append(i)
+                hashes.append(sim)
+            yield pd.DataFrame({"id": ids, "simhash": hashes})
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(run, schema)
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
+
+    Banding on 4x16-bit chunks: any pair within Hamming distance 3 shares at
+    least one identical chunk (pigeonhole), so the bucket join finds all of
+    them without an all-pairs comparison.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

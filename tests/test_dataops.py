@@ -1,0 +1,132 @@
+"""Tests for dedup / similarity / textstats operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ner_backend_spark.spark import dedup, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy dog"),  # near dup of 0
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["group_size"] == 2
+    assert by_id[1]["canonical_id"] == 0
+    assert by_id[3]["group_size"] == 1
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = dedup.near_duplicates_minhash(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup -> est_jaccard == 1.0
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(0, 1)] == 1.0
+    # near dups share most shingles; unrelated docs must not appear
+    assert (3, 4) not in found
+
+
+def test_token_jaccard_matches_manual(spark, docs):
+    pairs = spark.createDataFrame([(0, 2), (0, 3)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.token_jaccard(pairs, docs, "doc_id", "text").collect()
+    }
+    a = set(DOCS[0][1].split())
+    b = set(DOCS[2][1].split())
+    assert out[(0, 2)] == pytest.approx(len(a & b) / len(a | b))
+    assert out[(0, 3)] < 0.1
+
+
+def test_simhash_near_duplicates(docs):
+    out = dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=12)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert found[(0, 1)] == 0  # identical text -> identical simhash
+    assert (0, 5) in found or (0, 2) in found  # near dup within distance
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache(), base
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    df, base = vectors
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=5)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in out.collect()
+    }
+    norms = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        order = [
+            i for i in np.argsort(-sims[q]) if i != q
+        ][:5]
+        for rank, nid in enumerate(order, start=1):
+            got_nid, got_cos = got[(q, rank)]
+            assert got_nid == nid
+            assert got_cos == pytest.approx(sims[q, nid], abs=1e-9)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    df, base = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(df, queries, k=3)
+    approx = similarity.lsh_topk(df, queries, dim=16, k=3, tables=8, n_planes=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # generous: tiny vectors, few tables
+
+
+def test_ivf_assignments_cover_all(spark, vectors):
+    df, _ = vectors
+    out = similarity.ivf_assignments(df, dim=16, n_centroids=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(0 <= r["centroid_id"] < 4 for r in rows)
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox. It was THE dog!"), (2, ""), (3, "der die das und ist")],
+        ["doc_id", "text"],
+    )
+    out = textstats.add_language_id(
+        textstats.add_quality_scores(textstats.add_token_stats(df))
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 8
+    assert rows[2]["n_tokens"] == 0
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[3]["lang_pred"] == "de"
+    assert 0.0 <= rows[1]["quality_score"] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in textstats.add_fingerprint(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
