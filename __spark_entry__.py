@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship NER pipeline; ``queries()`` exposes
+one callable per implemented operator family (SURVEY.md §2); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+Column names and types are aligned pairwise (the driver hashes values after
+sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +12,522 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF001 = "/root/testdata/sf0.001"
+
+# Regex patterns used by the NER queries over `documents` — ASCII-only so
+# Java regex (Spark), RE2 (DuckDB) and Python re (pipeline) agree exactly.
+DOC_PATTERNS = {
+    "kw_spark": r"\bspark\b",
+    "kw_j": r"\bj\w+\b",
+    "kw_scan": r"\bscan\b",
+}
+
+GROUP_QUERY = 'COUNT(kw_spark) > 2 AND kw_j CONTAINS "oin"'
+SEARCH_QUERY = 'kw_scan CONTAINS "scan" AND (COUNT(kw_spark) > 0 OR kw_j = "join")'
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full reference-semantics NER report over sf0.001 documents
+    (regex tagger + custom tags + group queries -> coalesced entities)."""
+    from ner_backend_spark.spark.pipeline import run_report
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    docs = _t(spark, SF001, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    config = ReportConfig.make(
+        model_type="regex",
+        model_params={"patterns": dict(DOC_PATTERNS)},
+        custom_tags={"mention_sort": r"\bsort\b"},
+        groups={"sparky": GROUP_QUERY},
+    )
+    out = run_report(docs, config)
+    return out.entities
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_window_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+def _q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+def _q_ner_regex_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.native import regex_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_entities(docs, "doc_id", "text", DOC_PATTERNS)
+
+
+def _q_ner_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.native import regex_entity_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_entity_counts(docs, "doc_id", "text", DOC_PATTERNS)
+
+
+def _q_group_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.native import regex_entities
+    from ner_backend_spark.spark.query_compile import matching_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    ents = regex_entities(docs, "doc_id", "text", DOC_PATTERNS).select(
+        F.col("doc_id").alias("url"), "label", "text"
+    )
+    return matching_urls(ents, GROUP_QUERY).select(F.col("url").alias("doc_id"))
+
+
+def _q_search_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.native import regex_entities
+    from ner_backend_spark.spark.query_compile import search_objects
+
+    docs = _t(spark, sf_dir, "documents")
+    ents = regex_entities(docs, "doc_id", "text", DOC_PATTERNS).select(
+        F.col("doc_id").alias("url"), "label", "text"
+    )
+    return search_objects(ents, SEARCH_QUERY).select(
+        F.col("url").alias("doc_id")
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.textstats import add_fingerprint, add_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_fingerprint(add_token_stats(docs))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars_computed"),
+        "fingerprint",
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.textstats import add_quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_quality_scores(docs)
+    return out.select(
+        "doc_id",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.textstats import add_language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_language_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "text_hash", "group_size", "canonical_id"
+    )
+
+
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+# -- non-SQL-expressible operators (driver records rows-only checks) --------
+
+
+def _q_ner_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference semantics (FilterEntities + coalesce + contexts)."""
+    from ner_backend_spark.spark.pipeline import run_report
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    config = ReportConfig.make(
+        model_type="regex",
+        model_params={"patterns": dict(DOC_PATTERNS)},
+        custom_tags={"mention_sort": r"\bsort\b"},
+        groups={"sparky": GROUP_QUERY},
+    )
+    return run_report(docs, config).entities
+
+
+def _q_presidio_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presidio tagger over the synthesized Common-Crawl-style pages table."""
+    from ner_backend_spark import fixtures
+    from ner_backend_spark.spark.pipeline import run_report
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    pages = fixtures.pages_df(spark, n=200)
+    config = ReportConfig.make(model_type="presidio")
+    return run_report(pages.select("url", "text"), config).entities
+
+
+def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.dedup import near_duplicates_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_duplicates_minhash(docs, "doc_id", "text", threshold=0.5)
+
+
+def _q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+
+
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, dim=64, k=5, tables=4, n_planes=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q05_nation_revenue": _q05_nation_revenue,
+        "q_order_priority": _q_order_priority,
+        "q_window_top_events": _q_window_top_events,
+        "q_hourly_events": _q_hourly_events,
+        "q_events_json": _q_events_json,
+        "q_semi_join": _q_semi_join,
+        "q_anti_join": _q_anti_join,
+        "q_ner_regex_entities": _q_ner_regex_entities,
+        "q_ner_entity_counts": _q_ner_entity_counts,
+        "q_group_membership": _q_group_membership,
+        "q_search_backend": _q_search_backend,
+        "q_token_stats": _q_token_stats,
+        "q_quality_scores": _q_quality_scores,
+        "q_lang_id": _q_lang_id,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_knn_cosine": _q_knn_cosine,
+        "q_ner_pipeline": _q_ner_pipeline,
+        "q_presidio_pages": _q_presidio_pages,
+        "q_minhash_neardups": _q_minhash_neardups,
+        "q_simhash_neardups": _q_simhash_neardups,
+        "q_lsh_ann": _q_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ENTS_CTE = """
+WITH ents AS (
+  SELECT doc_id, 'kw_j' AS label,
+         unnest(regexp_extract_all(text, '\\bj\\w+\\b')) AS text FROM documents
+  UNION ALL
+  SELECT doc_id, 'kw_scan' AS label,
+         unnest(regexp_extract_all(text, '\\bscan\\b')) AS text FROM documents
+  UNION ALL
+  SELECT doc_id, 'kw_spark' AS label,
+         unnest(regexp_extract_all(text, '\\bspark\\b')) AS text FROM documents
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q05_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders WHERE o_orderstatus != 'P'
+            GROUP BY o_orderpriority
+        """,
+        "q_window_top_events": """
+            SELECT user_id, event_id, rnk FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id
+                       ) AS rnk
+                FROM events
+            ) WHERE rnk <= 3
+        """,
+        "q_hourly_events": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_events_json": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            FROM events
+        """,
+        "q_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+            )
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+        """,
+        "q_ner_regex_entities": _ENTS_CTE
+        + "SELECT doc_id, label, text FROM ents",
+        "q_ner_entity_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\bj\\w+\\b')) AS BIGINT) AS cnt_kw_j,
+                   CAST(len(regexp_extract_all(text, '\\bscan\\b')) AS BIGINT) AS cnt_kw_scan,
+                   CAST(len(regexp_extract_all(text, '\\bspark\\b')) AS BIGINT) AS cnt_kw_spark
+            FROM documents
+        """,
+        "q_group_membership": """
+            SELECT doc_id FROM documents
+            WHERE len(regexp_extract_all(text, '\\bspark\\b')) > 2
+              AND len(list_filter(regexp_extract_all(text, '\\bj\\w+\\b'),
+                                  x -> contains(x, 'oin'))) > 0
+        """,
+        "q_search_backend": _ENTS_CTE
+        + """
+            SELECT DISTINCT doc_id FROM ents
+            WHERE (label = 'kw_scan' AND text LIKE '%scan%')
+              AND ((SELECT count(*) FROM ents e2 WHERE e2.label = 'kw_spark') > 0
+                   OR (label = 'kw_j' AND text = 'join'))
+        """,
+        "q_token_stats": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "q_quality_scores": """
+            SELECT doc_id,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS digit_ratio,
+                   round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x)))
+                         / greatest(CASE WHEN trim(text) = '' THEN 0
+                                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "q_lang_id": """
+            WITH hits AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> list_contains(['der','die','das','und','ist','von','mit','für','nicht','ein'], x))) AS h_de,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x))) AS h_en,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> list_contains(['el','la','los','de','que','y','en','un','una','por'], x))) AS h_es,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], x))) AS h_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                        WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                        WHEN h_en >= h_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM hits
+        """,
+        "q_dedup_exact": """
+            WITH hashed AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+                 grp AS (SELECT text_hash, count(*) AS group_size,
+                                min(doc_id) AS canonical_id
+                         FROM hashed GROUP BY text_hash)
+            SELECT h.doc_id, h.text_hash, g.group_size, g.canonical_id
+            FROM hashed h JOIN grp g USING (text_hash)
+        """,
+        "q_knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 10),
+                 s AS (SELECT query_id, vec_id AS neighbor_id,
+                              list_cosine_similarity(q_vec, embedding) AS sim
+                       FROM q, embeddings WHERE vec_id != query_id),
+                 r AS (SELECT query_id, neighbor_id,
+                              row_number() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id
+                              ) AS rnk
+                       FROM s)
+            SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 5
+        """,
+    }
