@@ -1,0 +1,371 @@
+"""Knowledge-graph construction over the entities output.
+
+Pipeline (new per north_star; the reference stops at entities/groups —
+schema.go:129-144 — this layer canonicalizes and materializes triples):
+
+  entities (url, label, text)
+    -> mentions            distinct (label, normalized surface), stable ids
+    -> alias candidates    broadcast alias-dictionary join (exact on the
+                           normalized surface) — map-side, no shuffle
+    -> LSH blocking        char-trigram MinHash signatures computed entirely
+                           JVM-side; band-bucket self-join proposes pairs
+                           (never all-pairs)
+    -> link scoring        exact trigram Jaccard on proposed pairs
+    -> connected components alternating large-star / small-star (aggregate
+                           form: groupBy-min + join, no collect_list, so no
+                           high-degree-node blowup; O(log n) rounds)
+    -> canonicalization    per component: alias canonical id if any member
+                           hit the dictionary, else the lexicographically
+                           smallest surface
+    -> triples             (subj=url, pred=HAS_<LABEL>, obj=canonical) +
+                           (subj=url, pred=IN_GROUP, obj=group_name)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def normalize_surface(col):
+    """Deterministic surface normalization for matching/blocking."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def extract_mentions(entities: DataFrame) -> DataFrame:
+    """(mention_id, label, text, norm): distinct surfaces per label."""
+    m = (
+        entities.select("label", "text")
+        .distinct()
+        .withColumn("norm", normalize_surface(F.col("text")))
+    )
+    # id over the raw surface: distinct spellings stay distinct nodes; equal
+    # norms produce identical trigram signatures, so LSH proposes them and
+    # Jaccard scores them 1.0 — they merge through the graph, not the id.
+    return m.withColumn("mention_id", F.xxhash64("label", "text"))
+
+
+def _trigrams(col_name: str):
+    """Distinct character 3-grams of '^'+col+'$' (pads short strings)."""
+    padded = f"concat('^', {col_name}, '$')"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({padded}) - 2, 1)),"
+            f" i -> substring({padded}, i, 3))"
+        )
+    )
+
+
+def with_trigrams(mentions: DataFrame) -> DataFrame:
+    return mentions.withColumn("trigrams", _trigrams("norm"))
+
+
+def alias_candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """(mention_id, canonical_id) via broadcast alias dictionary.
+
+    alias_df: (surface, canonical_id) — the small curated dictionary; its
+    normalized surface joins map-side against mention norms (J-new in SURVEY
+    §2.7: broadcast map-side join for candidate generation).
+    """
+    alias_norm = alias_df.select(
+        normalize_surface(F.col("surface")).alias("norm"),
+        F.col("canonical_id"),
+    )
+    return mentions.join(F.broadcast(alias_norm), "norm").select(
+        "mention_id", "canonical_id"
+    )
+
+
+def lsh_candidate_pairs(
+    mentions: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 6,
+    same_label_only: bool = True,
+) -> DataFrame:
+    """(id_a, id_b) mention pairs sharing >=1 MinHash band bucket.
+
+    Signatures are built with built-in functions only:
+    sig[i] = array_min(transform(trigrams, t -> hash(t, i))). Band hash =
+    hash(slice(sig, ...)). Shuffle key is (band, band_hash[, label]).
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_trigrams(mentions).select(
+        "mention_id",
+        "label",
+        F.array(
+            *[
+                F.array_min(
+                    F.expr(
+                        f"transform(trigrams, t -> hash(t, {i}))"
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("signature"),
+    )
+    banded = sig.select(
+        "mention_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.mention_id") < F.col("r.mention_id"))
+    )
+    if same_label_only:
+        cond = cond & (F.col("l.label") == F.col("r.label"))
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("l.mention_id").alias("id_a"),
+            F.col("r.mention_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def score_links(
+    pairs: DataFrame, mentions: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """(id_a, id_b, score): exact trigram Jaccard on candidate pairs only."""
+    tri = with_trigrams(mentions).select("mention_id", "trigrams")
+    a = tri.select(
+        F.col("mention_id").alias("id_a"), F.col("trigrams").alias("tri_a")
+    )
+    b = tri.select(
+        F.col("mention_id").alias("id_b"), F.col("trigrams").alias("tri_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("tri_a", "tri_b"))
+                / F.size(F.array_union("tri_a", "tri_b"))
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: alternating large-star / small-star
+# (aggregate formulation of Kiveris et al., "Connected Components in
+# MapReduce and Beyond" — groupBy-min + join per round, O(log n) rounds,
+# no per-node adjacency lists materialized)
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+    m = mins.select(
+        "src", F.least(F.col("min_nbr"), F.col("src")).alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient child -> parent (src > dst)
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    moved = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (
+        moved.union(self_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007)).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(id, component): component = min node id in the component.
+
+    Input edges: (src, dst). Isolated nodes don't appear; callers union
+    them back with component = own id.
+    """
+    cur = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    prev_sum = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        checksum = _edge_checksum(cur)
+        if checksum == prev_sum:
+            break
+        prev_sum = checksum
+
+    # final edges are (node -> root) stars; roots map to themselves
+    nodes = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    parent = cur.groupBy("src").agg(F.min("dst").alias("component"))
+    return nodes.join(
+        parent, nodes.id == parent.src, "left"
+    ).select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization + triples
+
+
+def canonicalize(
+    entities: DataFrame,
+    alias_df: DataFrame | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """(label, text, canonical): canonical surface/id per mention cluster.
+
+    Clusters = connected components over (similarity edges) ∪ (alias edges:
+    mentions matching the same dictionary entry are connected through it).
+    Canonical = the dictionary canonical_id if the cluster touched the
+    dictionary, else the lexicographically smallest member surface.
+    """
+    mentions = extract_mentions(entities).persist()
+
+    pairs = lsh_candidate_pairs(mentions, num_hashes, bands)
+    sim_edges = score_links(pairs, mentions, threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+
+    if alias_df is not None:
+        hits = alias_candidates(mentions, alias_df)
+        # connect mentions through a per-dictionary-entry virtual node
+        alias_edges = hits.select(
+            F.col("mention_id").alias("src"),
+            F.xxhash64(F.concat(F.lit("alias:"), "canonical_id")).alias("dst"),
+        )
+        edges = sim_edges.union(alias_edges)
+    else:
+        hits = None
+        edges = sim_edges
+
+    comp = connected_components(edges)
+
+    labeled = mentions.join(
+        comp, mentions.mention_id == comp.id, "left"
+    ).select(
+        "mention_id",
+        "label",
+        "text",
+        "norm",
+        F.coalesce("component", F.col("mention_id")).alias("component"),
+    )
+
+    # representative surface: smallest (norm, text) in the component
+    rep = labeled.groupBy("component").agg(
+        F.min(F.struct("norm", "text")).alias("rep")
+    ).select("component", F.col("rep.text").alias("rep_text"))
+
+    if hits is not None:
+        # canonical dictionary id per component (min for determinism)
+        comp_alias = (
+            labeled.join(hits, "mention_id")
+            .groupBy("component")
+            .agg(F.min("canonical_id").alias("alias_canonical"))
+        )
+        rep = rep.join(comp_alias, "component", "left").select(
+            "component",
+            F.coalesce("alias_canonical", F.col("rep_text")).alias("canonical"),
+        )
+    else:
+        rep = rep.select("component", F.col("rep_text").alias("canonical"))
+
+    out = labeled.join(rep, "component").select("label", "text", "canonical")
+    mentions.unpersist()
+    return out
+
+
+def build_triples(
+    entities: DataFrame,
+    object_groups: DataFrame | None = None,
+    alias_df: DataFrame | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(subj, pred, obj) triples, canonicalized.
+
+    (url, HAS_<LABEL>, canonical_entity) from entities;
+    (url, IN_GROUP, group_name) from object_groups (FIXTURES.md §2).
+    """
+    canon = canonicalize(entities, alias_df, threshold)
+    has = (
+        entities.join(canon, ["label", "text"])
+        .select(
+            F.col("url").alias("subj"),
+            F.concat(F.lit("HAS_"), F.col("label")).alias("pred"),
+            F.col("canonical").alias("obj"),
+        )
+        .distinct()
+    )
+    if object_groups is None:
+        return has
+    groups = object_groups.select(
+        F.col("url").alias("subj"),
+        F.lit("IN_GROUP").alias("pred"),
+        F.col("group_name").alias("obj"),
+    ).distinct()
+    return has.unionByName(groups)
+
+
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Partitioned materialization: pred is the natural partition column
+    (low cardinality, prunes HAS_<LABEL> queries); subj-hash bucketing within
+    files co-locates a url's triples."""
+    (
+        triples.repartition(n_buckets, F.col("subj"))
+        .sortWithinPartitions("subj", "pred")
+        .write.mode(mode)
+        .partitionBy("pred")
+        .parquet(path)
+    )

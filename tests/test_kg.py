@@ -1,0 +1,114 @@
+"""KG layer tests: blocking, link scoring, connected components,
+canonicalization, triple materialization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_backend_spark.spark import kg
+
+ENTITIES = [
+    # (url, label, text) — NAME mentions with surface variants
+    ("u1", "NAME", "Bruce Lee"),
+    ("u2", "NAME", "bruce  lee"),
+    ("u3", "NAME", "李小龍 (Bruce Lee)"),
+    ("u4", "NAME", "Amelia O'Connell"),
+    ("u5", "NAME", "Amelia OConnell"),
+    ("u6", "NAME", "Jürgen Müller"),
+    ("u1", "EMAIL", "brucelee@kungfu.cn"),
+    ("u7", "LOCATION", "Boston"),
+    ("u8", "LOCATION", "Bostn"),
+]
+
+ALIASES = [
+    ("Bruce Lee", "Q16397"),
+    ("李小龍 (Bruce Lee)", "Q16397"),
+    ("Jürgen Müller", "Q999"),
+]
+
+
+@pytest.fixture(scope="module")
+def entities(spark):
+    return spark.createDataFrame(ENTITIES, ["url", "label", "text"]).cache()
+
+
+@pytest.fixture(scope="module")
+def aliases(spark):
+    return spark.createDataFrame(ALIASES, ["surface", "canonical_id"])
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    comp = {r["id"]: r["component"] for r in kg.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
+
+
+def test_connected_components_chain_and_star(spark):
+    # long chain exercises multi-round convergence
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    comp = {r["id"]: r["component"] for r in kg.connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 31
+
+
+def test_lsh_blocking_proposes_similar_pairs(spark, entities):
+    mentions = kg.extract_mentions(entities)
+    pairs = kg.lsh_candidate_pairs(mentions, num_hashes=12, bands=6)
+    scored = kg.score_links(pairs, mentions, threshold=0.35)
+    # map ids back to surfaces
+    m = {r["mention_id"]: r["text"] for r in mentions.collect()}
+    found = {
+        frozenset((m[r["id_a"]], m[r["id_b"]])) for r in scored.collect()
+    }
+    assert frozenset(("Bruce Lee", "bruce  lee")) in found
+    assert frozenset(("Amelia O'Connell", "Amelia OConnell")) in found
+    assert frozenset(("Boston", "Bostn")) in found
+    # dissimilar mentions must not be linked
+    for pair in found:
+        assert pair != frozenset(("Bruce Lee", "Jürgen Müller"))
+
+
+def test_canonicalize_with_alias_dictionary(spark, entities, aliases):
+    canon = kg.canonicalize(entities, aliases, threshold=0.35)
+    by_text = {r["text"]: r["canonical"] for r in canon.collect()}
+    # alias dictionary wins: all Bruce Lee variants -> Q16397
+    assert by_text["Bruce Lee"] == "Q16397"
+    assert by_text["bruce  lee"] == "Q16397"
+    assert by_text["李小龍 (Bruce Lee)"] == "Q16397"
+    assert by_text["Jürgen Müller"] == "Q999"
+    # non-dictionary cluster canonicalizes to smallest member surface
+    assert by_text["Amelia O'Connell"] == by_text["Amelia OConnell"]
+    # singleton keeps itself
+    assert by_text["brucelee@kungfu.cn"] == "brucelee@kungfu.cn"
+
+
+def test_build_triples(spark, entities, aliases):
+    groups = spark.createDataFrame(
+        [("u1", "vip"), ("u7", "places")], ["url", "group_name"]
+    )
+    triples = kg.build_triples(entities, groups, aliases, threshold=0.35)
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in triples.collect()}
+    assert ("u1", "HAS_NAME", "Q16397") in rows
+    assert ("u2", "HAS_NAME", "Q16397") in rows
+    assert ("u3", "HAS_NAME", "Q16397") in rows
+    assert ("u1", "HAS_EMAIL", "brucelee@kungfu.cn") in rows
+    assert ("u1", "IN_GROUP", "vip") in rows
+    # canonicalization is exact-dedup aware: u1/u2/u3 all map to ONE object
+    names = {(s, o) for s, p, o in rows if p == "HAS_NAME"}
+    assert len({o for _, o in names if o == "Q16397"}) == 1
+
+
+def test_write_triples_partitioned(spark, entities, tmp_path):
+    triples = kg.build_triples(entities, None, None, threshold=0.35)
+    path = str(tmp_path / "triples")
+    kg.write_triples(triples, path, n_buckets=4)
+    back = spark.read.parquet(path)
+    assert back.count() == triples.count()
+    # partition pruning on pred: reading one predicate touches one dir
+    preds = {r["pred"] for r in back.select("pred").distinct().collect()}
+    assert "HAS_NAME" in preds
