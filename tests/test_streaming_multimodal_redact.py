@@ -1,0 +1,107 @@
+"""Streaming ingest parity, multimodal plumbing, redaction goldens."""
+
+import pytest
+
+from ner_backend_spark import fixtures
+from ner_backend_spark.core.models import RegexModel
+from ner_backend_spark.core.redact import TagMetadata, redact
+from ner_backend_spark.spark import multimodal
+from ner_backend_spark.spark.pipeline import run_report
+from ner_backend_spark.spark.tagger import ReportConfig
+from ner_backend_spark.streaming.ingest import read_pages_stream, stream_entities
+
+CONFIG = ReportConfig.make(
+    model_type="regex",
+    model_params={"patterns": {"phone": r"\d{3}-\d{3}-\d{4}", "email": r"\w+@\w+\.\w+"}},
+)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    pages = fixtures.pages_df(spark, n=60)
+    in_path = str(tmp_path / "pages_in")
+    # several files to exercise incremental file triggers
+    pages.repartition(4).write.parquet(in_path)
+
+    out_path = str(tmp_path / "entities_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_entities(
+        read_pages_stream(spark, in_path, max_files_per_trigger=2),
+        CONFIG,
+        out_path,
+        ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out_path).collect()}
+    want = {
+        tuple(r)
+        for r in run_report(pages.select("url", "text"), CONFIG).entities.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_restart_no_duplicates(spark, tmp_path):
+    pages = fixtures.pages_df(spark, n=40)
+    in_path = str(tmp_path / "pages_in")
+    pages.write.parquet(in_path)
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = stream_entities(
+        read_pages_stream(spark, in_path), CONFIG, out_path, ckpt
+    )
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(out_path).count()
+
+    # restart with same checkpoint: no new input -> no duplicates
+    q2 = stream_entities(
+        read_pages_stream(spark, in_path), CONFIG, out_path, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == n1
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        ("m1", b"\x01\x02\x03\x04" * 64, "image/png", 8, 8, None),
+        ("m2", b"\xff\xee" * 512, "video/mp4", None, None, 4000),
+        ("m3", b"", "image/jpeg", 0, 0, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_image_features_plumbing(spark, media):
+    out = multimodal.extract_image_features(media, dim=8).collect()
+    rows = {r["url"]: r for r in out}
+    assert rows["m1"]["n_bytes"] == 256
+    assert len(rows["m1"]["features"]) == 8
+    # deterministic: same bytes -> same features
+    again = {
+        r["url"]: r["features"]
+        for r in multimodal.extract_image_features(media, dim=8).collect()
+    }
+    assert again["m1"] == rows["m1"]["features"]
+
+
+def test_frame_sampling_fanout(spark, media):
+    out = multimodal.sample_frames(media, n_frames=4).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url["m2"]) == 4
+    assert sorted(r["frame_idx"] for r in by_url["m2"]) == [0, 1, 2, 3]
+
+
+def test_redaction_stable_placeholders():
+    model = RegexModel(
+        {"PHONENUMBER": r"\d{3}-\d{3}-\d{4}", "EMAIL": r"\w+@\w+\.\w+"}
+    )
+    text = "Call 123-456-7890 or mail a@b.com; again 123-456-7890."
+    red, meta = redact(text, model)
+    assert red == "Call [PHONENUMBER_1] or mail a@b.com; again [PHONENUMBER_1]."
+    # a@b.com fails the EMAIL validator (local part < 2) -> not redacted
+    red2, meta = redact("New number 999-888-7777 and 123-456-7890", model, meta)
+    assert red2 == "New number [PHONENUMBER_2] and [PHONENUMBER_1]"
+    assert meta.tag_map["[PHONENUMBER_1]"] == "123-456-7890"
