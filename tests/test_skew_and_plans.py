@@ -1,0 +1,99 @@
+"""Skew operators + physical-plan audits (pushdown, pruning, broadcast)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_backend_spark import fixtures
+from ner_backend_spark.spark import skew
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    fixtures.pages_df(spark, n=200).write.parquet(path)
+    return path
+
+
+def test_domain_extraction(spark):
+    df = spark.createDataFrame(
+        [("https://site0.example/page/1",), ("http://a.b.c:8080/x",), ("site2.example/z",)],
+        ["url"],
+    )
+    got = [r["domain"] for r in skew.add_domain(df).collect()]
+    assert got == ["site0.example", "a.b.c", "site2.example"]
+
+
+def test_hot_key_detection_on_zipf_fixture(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    domains = skew.add_domain(pages)
+    hot = skew.hot_keys(domains, "domain", threshold_fraction=0.05)
+    hot_set = {r["domain"] for r in hot.collect()}
+    assert "site0.example" in hot_set  # the Zipf head
+    assert len(hot_set) < 12
+
+
+def test_two_phase_count_exact(spark, pages_path):
+    pages = skew.add_domain(spark.read.parquet(pages_path))
+    want = {
+        r["domain"]: r["count"]
+        for r in pages.groupBy("domain").count().collect()
+    }
+    got = {
+        r["domain"]: r["count"]
+        for r in skew.two_phase_count(pages, "domain", n_salts=4).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_hot_keys_exact(spark, pages_path):
+    pages = skew.add_domain(spark.read.parquet(pages_path))
+    dim_rows = [(d,) for d in {r["domain"] for r in pages.select("domain").distinct().collect()}]
+    dim = spark.createDataFrame(dim_rows, ["domain"]).withColumn(
+        "dim_val", F.length("domain")
+    )
+    want = pages.join(dim, "domain").count()
+    got = skew.salted_join_hot_keys(pages, dim, "domain", n_salts=4).count()
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# physical plan audits
+
+
+def test_column_pruning_html_never_read(spark, pages_path):
+    """Selecting (url, text) must prune the binary html column at the scan."""
+    pages = spark.read.parquet(pages_path)
+    plan = pages.select("url", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema
+    assert "url" in read_schema and "text" in read_schema
+
+
+def test_predicate_pushdown_to_parquet(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_small_dim_join_is_broadcast(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    dim = spark.createDataFrame([("en", "English")], ["lang", "lang_name"])
+    q = pages.join(F.broadcast(dim), "lang").select("url", "lang_name")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tagger_plan_prunes_columns(spark, pages_path):
+    """The NER pipeline reads only (url, text) from a 5-column table."""
+    from ner_backend_spark.spark.pipeline import run_report
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    pages = spark.read.parquet(pages_path)
+    out = run_report(pages, ReportConfig.make(
+        model_type="regex", model_params={"patterns": {"p": r"\d+"}}
+    ))
+    plan = out.entities._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema and "warc_ts" not in read_schema
