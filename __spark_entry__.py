@@ -271,7 +271,200 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q06_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+            * 100.0
+            / F.sum(disc),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+ALIAS_DICT = [
+    ("spark", "ENT_SPARK"),
+    ("join", "ENT_JOIN"),
+    ("scan", "ENT_SCAN"),
+    ("java", "ENT_JAVA"),
+]
+
+
+def _doc_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.native import regex_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_entities(docs, "doc_id", "text", DOC_PATTERNS).select(
+        F.col("doc_id").cast("string").alias("url"), "label", "text"
+    )
+
+
+def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.kg import extract_mentions
+
+    ents = _doc_entities(spark, sf_dir)
+    return extract_mentions(ents).select("label", "text", "norm")
+
+
+def _q_kg_alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.kg import alias_candidates, extract_mentions
+
+    ents = _doc_entities(spark, sf_dir)
+    mentions = extract_mentions(ents)
+    alias_df = spark.createDataFrame(ALIAS_DICT, "surface string, canonical_id string")
+    hits = alias_candidates(mentions, alias_df)
+    return mentions.join(hits, "mention_id").select(
+        "label", "text", "canonical_id"
+    )
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.dedup import token_jaccard
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    ids = docs.select(F.col("doc_id").cast("long").alias("id"))
+    a = ids.select(F.col("id").alias("id_a"))
+    b = ids.select(F.col("id").alias("id_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = token_jaccard(pairs, docs, "doc_id", "text")
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(emb, threshold=0.3, method="exact")
+    return out.select("id_a", "id_b")
+
+
 # -- non-SQL-expressible operators (driver records rows-only checks) --------
+
+
+def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline: mentions -> LSH blocking -> link scoring ->
+    connected components -> canonicalization -> (subj, pred, obj) triples."""
+    from ner_backend_spark.spark.kg import build_triples
+    from ner_backend_spark.spark.query_compile import matching_urls
+
+    ents = _doc_entities(spark, sf_dir)
+    groups = (
+        matching_urls(ents, GROUP_QUERY)
+        .select("url")
+        .withColumn("group_name", F.lit("sparky"))
+    )
+    alias_df = spark.createDataFrame(ALIAS_DICT, "surface string, canonical_id string")
+    return build_triples(ents, groups, alias_df, threshold=0.5)
+
+
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(emb, queries_df, dim=64, k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def _q_crf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNN+CRF tagger path (tokenize -> emissions -> Viterbi -> word spans)
+    batched in the same Arrow mapInPandas kernel as the other models."""
+    from ner_backend_spark.core.crf import IDX2TAG, O_INDEX
+    from ner_backend_spark.spark.pipeline import run_report
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    n = len(IDX2TAG)
+    # Deterministic CRF that penalizes transitions into O so the hash
+    # emissions produce a non-trivial tag sequence end-to-end.
+    transitions = [[0.0] * n for _ in range(n)]
+    for row in transitions:
+        row[O_INDEX] = -4.0
+    start = [0.0] * n
+    start[O_INDEX] = -4.0
+    config = ReportConfig.make(
+        model_type="cnn_crf",
+        model_params={
+            "transitions": transitions,
+            "start_probs": start,
+            "end_probs": [0.0] * n,
+        },
+        tags=set(IDX2TAG),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return run_report(docs, config).entities
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction (decode stubbed, plumbing real):
+    documents' text re-encoded as an opaque binary payload, batched through
+    the mapInPandas feature kernel."""
+    from ner_backend_spark.spark.multimodal import extract_image_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "UTF-8").alias("media"),
+    )
+    return extract_image_features(media, dim=16)
+
+
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates(
+        emb, threshold=0.3, method="lsh", dim=64, n_planes=6, tables=8
+    )
+    return out.select("id_a", "id_b")
 
 
 def _q_ner_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +537,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": _q_lang_id,
         "q_dedup_exact": _q_dedup_exact,
         "q_knn_cosine": _q_knn_cosine,
+        "q06_revenue_change": _q06_revenue_change,
+        "q10_returned_items": _q10_returned_items,
+        "q_promo_revenue": _q_promo_revenue,
+        "q_kg_mentions": _q_kg_mentions,
+        "q_kg_alias_candidates": _q_kg_alias_candidates,
+        "q_jaccard_pairs": _q_jaccard_pairs,
+        "q_embedding_neardup": _q_embedding_neardup,
+        "q_kg_triples": _q_kg_triples,
+        "q_ivf_ann": _q_ivf_ann,
+        "q_crf_pipeline": _q_crf_pipeline,
+        "q_multimodal_features": _q_multimodal_features,
+        "q_embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "q_ner_pipeline": _q_ner_pipeline,
         "q_presidio_pages": _q_presidio_pages,
         "q_minhash_neardups": _q_minhash_neardups,
@@ -514,6 +719,77 @@ def oracle_sql() -> dict[str, str]:
                          FROM hashed GROUP BY text_hash)
             SELECT h.doc_id, h.text_hash, g.group_size, g.canonical_id
             FROM hashed h JOIN grp g USING (text_hash)
+        """,
+        "q06_revenue_change": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q_promo_revenue": """
+            SELECT round(
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-07-01'
+        """,
+        "q_kg_mentions": _ENTS_CTE
+        + """
+            SELECT DISTINCT label, text,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM ents
+        """,
+        "q_kg_alias_candidates": _ENTS_CTE
+        + """
+            , mentions AS (
+                SELECT DISTINCT label, text,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM ents
+            ), aliases AS (
+                SELECT * FROM (VALUES
+                    ('spark', 'ENT_SPARK'), ('join', 'ENT_JOIN'),
+                    ('scan', 'ENT_SCAN'), ('java', 'ENT_JAVA')
+                ) AS t(surface, canonical_id)
+            )
+            SELECT m.label, m.text, a.canonical_id
+            FROM mentions m
+            JOIN aliases a
+              ON m.norm = regexp_replace(lower(trim(a.surface)), '\\s+', ' ', 'g')
+        """,
+        "q_jaccard_pairs": """
+            WITH toks AS (
+                SELECT CAST(doc_id AS BIGINT) AS id,
+                       list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+                FROM documents WHERE doc_id < 30
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.t, b.t))
+                         / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
+            FROM toks a JOIN toks b ON a.id < b.id
+        """,
+        "q_embedding_neardup": """
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "q_knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

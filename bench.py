@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q_ner_pipeline",
     "q_minhash_neardups",
     "q_simhash_neardups",
+    "q_kg_triples",
+    "q_crf_pipeline",
 ]
 
 

@@ -141,6 +141,61 @@ def pages_df(spark: SparkSession, n: int = 200, n_domains: int = 12) -> DataFram
     return spark.createDataFrame(generate_rows(n, n_domains), PAGES_SCHEMA)
 
 
+def pages_df_distributed(
+    spark: SparkSession,
+    n: int,
+    n_domains: int = 12,
+    partitions: int = 64,
+) -> DataFrame:
+    """Distributed deterministic pages table for benchmark-scale inputs.
+
+    Unlike :func:`pages_df` (driver-side list, fine for ≤ a few thousand
+    rows), this generates rows inside ``mapInPandas`` over ``spark.range``,
+    so a 10^8-row bench table never materializes on the driver. Each row is
+    seeded by its own id — the output is byte-identical regardless of
+    partitioning or parallelism, which is what makes the N-vs-4N scaling
+    run a fair comparison on identical input.
+    """
+    import pandas as pd
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def gen(batches):
+        weights = [1.0 / (i + 1) for i in range(n_domains)]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = random.Random((SEED << 32) ^ int(i))
+                domain = (
+                    f"site{rng.choices(range(n_domains), weights=weights)[0]}"
+                    ".example"
+                )
+                sentences = rng.choices(_FILLER_SENTENCES, k=rng.randint(3, 12))
+                if rng.random() < 0.6:
+                    sentences.insert(
+                        rng.randrange(len(sentences) + 1),
+                        rng.choice(_PII_SNIPPETS),
+                    )
+                text = " ".join(sentences)
+                ts = _EPOCH + dt.timedelta(seconds=int(i) * 37)
+                rows.append(
+                    (
+                        f"https://{domain}/page/{int(i)}",
+                        ts.replace(tzinfo=None),
+                        text.encode("utf-8"),
+                        text,
+                        "en",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema)
+
+
 def integration_pages_df(spark: SparkSession) -> DataFrame:
     """Only the 21 files of the reference E2E golden (inference_test.go:91-104)."""
     rows = []

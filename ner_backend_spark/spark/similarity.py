@@ -168,6 +168,141 @@ def lsh_topk(
     )
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    dim: int | None = None,
+    n_planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold (embedding near-dup).
+
+    method='exact' scores every (a<b) pair — the oracle path, quadratic, only
+    for verification at small SF. method='lsh' is the scale path: candidates
+    must share a random-hyperplane bucket in >=1 of `tables` hash tables, so
+    the shuffle key is (table, bucket) and no cross-join ever materializes.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if method == "exact":
+        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("dim is required for method='lsh'")
+        buckets = lsh_bucket_ids(
+            vecs, dim, "id", "vec", n_planes, tables, seed
+        )
+        cand = (
+            buckets.alias("l")
+            .join(
+                buckets.alias("r"),
+                ["table", "bucket"],
+            )
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .distinct()
+        )
+        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their `nprobe` nearest centroids
+    and rank only vectors assigned to those centroids.
+
+    On a real warehouse `centroid_id` is the physical partition key of the
+    vector table, so the candidate join below prunes to nprobe partitions;
+    here it is a shuffle key. Centroids are the same deterministic unit
+    vectors as :func:`ivf_assignments`.
+    """
+    rng = np.random.RandomState(seed)
+    cents = rng.normal(size=(n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    assigned = ivf_assignments(
+        embeddings, dim, n_centroids, id_col, vec_col, seed
+    ).withColumnRenamed("id", "neighbor_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    # per-query centroid scores -> sort desc -> keep nprobe -> explode
+    scores = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "q_vec",
+                        F.array(*[F.lit(float(v)) for v in cents[cid]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in range(n_centroids)
+        ]
+    )
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.slice(F.sort_array(scores, asc=False), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.cid").alias("centroid_id"))
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     dim: int,
@@ -190,18 +325,25 @@ def ivf_assignments(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    best_id, best_score = F.lit(-1), F.lit(float("-inf"))
-    for cid in range(n_centroids):
-        score = F.aggregate(
-            F.zip_with(
-                "vec",
-                F.array(*[F.lit(float(v)) for v in cents[cid]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        improved = score > best_score
-        best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
-        best_score = F.when(improved, score).otherwise(best_score)
-    return out.select("id", best_id.alias("centroid_id"))
+    # Linear expression tree: one struct per centroid, argmax via array_max
+    # over (score, cid) struct ordering. (A chained when(score > best, ...)
+    # construction re-embeds every previous score expression and blows up
+    # exponentially in Catalyst — 2^n_centroids nodes.)
+    scores = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "vec",
+                        F.array(*[F.lit(float(v)) for v in cents[cid]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in range(n_centroids)
+        ]
+    )
+    return out.select("id", F.array_max(scores)["cid"].alias("centroid_id"))

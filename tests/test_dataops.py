@@ -106,6 +106,55 @@ def test_ivf_assignments_cover_all(spark, vectors):
     assert all(0 <= r["centroid_id"] < 4 for r in rows)
 
 
+def test_ivf_topk_recall(spark, vectors):
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(df, queries, k=3)
+    approx = similarity.ivf_topk(
+        df, queries, dim=16, k=3, n_centroids=4, nprobe=2
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # nprobe=2 of 4 centroids: every returned pair must be a real vector and
+    # ranks must be dense per query
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.4
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_embedding_near_duplicates_exact_matches_numpy(spark, vectors):
+    df, base = vectors
+    norms = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    want = {
+        (a, b)
+        for a in range(20)
+        for b in range(a + 1, 20)
+        if sims[a, b] >= 0.3
+    }
+    out = similarity.embedding_near_duplicates(df, threshold=0.3, method="exact")
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == want
+
+
+def test_embedding_near_duplicates_lsh_subset_of_exact(spark, vectors):
+    df, base = vectors
+    exact = similarity.embedding_near_duplicates(
+        df, threshold=0.3, method="exact"
+    )
+    lsh = similarity.embedding_near_duplicates(
+        df, threshold=0.3, method="lsh", dim=16, n_planes=4, tables=8
+    )
+    exact_set = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    lsh_set = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert lsh_set <= exact_set  # blocking only prunes, never invents
+    if exact_set:
+        assert len(lsh_set) / len(exact_set) >= 0.5  # recall with 8 tables
+
+
 def test_textstats(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox. It was THE dog!"), (2, ""), (3, "der die das und ist")],
