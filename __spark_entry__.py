@@ -376,6 +376,18 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_entity_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q1 (internal/api/api.go:651-697): label-filtered entity page
+    ordered by primary key with OFFSET/LIMIT."""
+    ents = _doc_entities(spark, sf_dir)
+    return (
+        ents.filter(F.col("label").isin("kw_spark", "kw_j"))
+        .orderBy("url", "label", "text")
+        .offset(50)
+        .limit(100)
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.similarity import embedding_near_duplicates
 
@@ -543,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_mentions": _q_kg_mentions,
         "q_kg_alias_candidates": _q_kg_alias_candidates,
         "q_jaccard_pairs": _q_jaccard_pairs,
+        "q_entity_pagination": _q_entity_pagination,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_kg_triples": _q_kg_triples,
         "q_ivf_ann": _q_ivf_ann,
@@ -783,6 +796,13 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(a.t, b.t))
                          / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
             FROM toks a JOIN toks b ON a.id < b.id
+        """,
+        "q_entity_pagination": _ENTS_CTE
+        + """
+            SELECT CAST(doc_id AS VARCHAR) AS url, label, text FROM ents
+            WHERE label IN ('kw_spark', 'kw_j')
+            ORDER BY url, label, text
+            OFFSET 50 LIMIT 100
         """,
         "q_embedding_neardup": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a,

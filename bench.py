@@ -44,6 +44,16 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def warm_python_workers(spark) -> None:
+    """Spin up one Python UDF worker per core before timing, so the first
+    pandas-UDF query isn't charged the whole fleet's startup cost."""
+
+    def ident(batches):
+        yield from batches
+
+    force(spark.range(0, 256, 1, 64).mapInPandas(ident, "id long"))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -59,6 +69,7 @@ def main() -> None:
         sf = -1.0
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

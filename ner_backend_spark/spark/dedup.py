@@ -104,9 +104,12 @@ def minhash_signatures(
                 sigs.append(sig.astype(np.int64).tolist())
             yield pd.DataFrame({"id": ids, "signature": sigs})
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
-    ).mapInPandas(run, schema)
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    )
+    return narrow.mapInPandas(run, schema)
 
 
 def lsh_candidate_pairs(
@@ -234,33 +237,49 @@ def simhash_signatures(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
-            for i, text in zip(pdf[id_col].values, pdf[text_col].values):
-                words = (text or "").split()
-                acc = np.zeros(64, dtype=np.int64)
-                for w, cnt in pd.Series(words).value_counts().items():
-                    h = int.from_bytes(
-                        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(),
-                        "big",
-                    )
-                    bits = np.array(
-                        [(h >> k) & 1 for k in range(64)], dtype=np.int64
-                    )
-                    acc += (2 * bits - 1) * int(cnt)
-                sim = 0
-                for k in range(64):
-                    if acc[k] > 0:
-                        sim |= 1 << k
-                # store as signed 64-bit
-                if sim >= 1 << 63:
-                    sim -= 1 << 64
-                ids.append(i)
-                hashes.append(sim)
-            yield pd.DataFrame({"id": ids, "simhash": hashes})
+            texts = pdf[text_col].values
+            n_docs = len(texts)
+            doc_words = [(t or "").split() for t in texts]
+            all_words = [w for ws in doc_words for w in ws]
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            if all_words:
+                doc_idx = np.repeat(
+                    np.arange(n_docs), [len(ws) for ws in doc_words]
+                )
+                uniq, inv = np.unique(
+                    np.asarray(all_words, dtype=object), return_inverse=True
+                )
+                # one blake2b per distinct word in the batch; bit k of the
+                # big-endian digest int = bit (k%8) of byte (7 - k//8), so
+                # reverse bytes + little-endian unpack yields k-order bits.
+                digests = b"".join(
+                    hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
+                    for w in uniq
+                )
+                bits = np.unpackbits(
+                    np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8)[
+                        :, ::-1
+                    ],
+                    axis=1,
+                    bitorder="little",
+                )
+                signed = (2 * bits.astype(np.int64)) - 1  # [U, 64] of ±1
+                np.add.at(acc, doc_idx, signed[inv])
+            weights = 1 << np.arange(64, dtype=np.uint64)
+            sims = ((acc > 0).astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "simhash": sims.astype(np.int64),  # wraps to signed i64
+                }
+            )
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
-    ).mapInPandas(run, schema)
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    )
+    return narrow.mapInPandas(run, schema)
 
 
 def simhash_near_duplicates(

@@ -100,7 +100,10 @@ def extract_image_features(
                 }
             )
 
-    return media.select("url", "media").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(media.select("url", "media"))
+    return narrow.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -122,4 +125,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     frames.append(data[i * stride : (i + 1) * stride])
             yield pd.DataFrame({"url": urls, "frame_idx": idxs, "frame": frames})
 
-    return media.select("url", "media").mapInPandas(run, FRAME_SCHEMA)
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(media.select("url", "media"))
+    return narrow.mapInPandas(run, FRAME_SCHEMA)

@@ -22,6 +22,28 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 DEFAULT_ARROW_BATCH = 1024  # texts per Arrow record batch into pandas UDFs
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition iff the plan has fewer partitions than the cluster has
+    slots — the Spark analogue of the reference's byte-budget shard planner
+    (internal/storage/file_system_connector_utils.go:12-63), which exists so
+    a small listing still fans out across workers.
+
+    At 100 TB the scan already yields thousands of splits and this is a
+    no-op (no shuffle inserted); it only triggers for small inputs (e.g. one
+    tiny parquet file -> 1 partition), where otherwise every Arrow UDF
+    kernel downstream would run on a single core.
+    """
+    if df.isStreaming:
+        # partitioning of a stream is governed by the source + shuffle conf;
+        # .rdd is illegal here and micro-batches are already fanned out
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "ner-backend-spark",
     cores: int | str | None = None,

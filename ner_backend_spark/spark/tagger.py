@@ -165,7 +165,10 @@ def tag_documents(pages: DataFrame, config: ReportConfig) -> DataFrame:
             if len(pdf):
                 yield _run_batch(pdf, config)
 
-    return pages.select("url", "text").mapInPandas(run, REPORT_ROW_SCHEMA)
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(pages.select("url", "text"))
+    return narrow.mapInPandas(run, REPORT_ROW_SCHEMA)
 
 
 def explode_entities(report_rows: DataFrame) -> DataFrame:

@@ -97,3 +97,36 @@ def test_tagger_plan_prunes_columns(spark, pages_path):
     plan = out.entities._jdf.queryExecution().executedPlan().toString()
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_kg_alias_join_is_broadcast(spark, pages_path):
+    """Alias-dictionary candidate generation must be a map-side broadcast
+    join (SURVEY §2.7 J-new), never a shuffle of the mention set."""
+    from ner_backend_spark.spark import kg
+
+    ents = spark.createDataFrame(
+        [("u1", "NAME", "Spark"), ("u2", "NAME", "spark "), ("u3", "TOOL", "flink")],
+        ["url", "label", "text"],
+    )
+    alias_df = spark.createDataFrame(
+        [("spark", "ENT_SPARK")], ["surface", "canonical_id"]
+    )
+    out = kg.alias_candidates(kg.extract_mentions(ents), alias_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ensure_parallelism_fans_out_small_input(spark, pages_path):
+    from ner_backend_spark.spark.session import ensure_parallelism
+
+    one = spark.read.parquet(pages_path).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    fanned = ensure_parallelism(one)
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # already-wide inputs are untouched (no extra shuffle at scale)
+    wide = spark.range(0, 1000, 1, 64)
+    assert ensure_parallelism(wide).rdd.getNumPartitions() == 64
