@@ -78,6 +78,7 @@ def generate(spark) -> None:
 
 
 def run_level(cores: int) -> dict:
+    from ner_backend_spark.spark.kg import build_triples
     from ner_backend_spark.spark.pipeline import run_report
     from ner_backend_spark.spark.tagger import ReportConfig
 
@@ -92,24 +93,40 @@ def run_level(cores: int) -> dict:
         build_previews=False,
     )
 
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup: one full untimed pass. This spins up every Python worker,
     # compiles the recognizers per worker, and pulls the input into the OS
     # page cache — identical treatment at both levels, so the timed pass
     # measures steady-state throughput (what a long-running 100 TB job sees).
-    run_report(pages, config).entities.write.format("noop").mode(
-        "overwrite"
-    ).save()
+    noop(run_report(pages, config).entities)
 
-    out = run_report(pages, config)
+    # Job 1: NER pipeline (pages -> coalesced entities).
     t0 = time.monotonic()
-    out.entities.write.format("noop").mode("overwrite").save()
-    secs = time.monotonic() - t0
+    noop(run_report(pages, config).entities)
+    ner_secs = time.monotonic() - t0
+
+    # Job 2: full KG construction end-to-end (pages -> entities -> mentions
+    # -> LSH blocking -> link scoring -> connected components ->
+    # canonicalized triples). Includes recomputing the NER stage.
+    alias_df = spark.createDataFrame(
+        [("user0@example.com", "ENT_USER0"), ("a1b2c3", "ENT_TOKEN")],
+        "surface string, canonical_id string",
+    )
+    t0 = time.monotonic()
+    entities = run_report(pages, config).entities.select("url", "label", "text")
+    noop(build_triples(entities, None, alias_df, threshold=0.5))
+    kg_secs = time.monotonic() - t0
+
     n_docs = N_PAGES
     spark.stop()
     return {
         "cores": cores,
-        "seconds": round(secs, 3),
-        "docs_per_sec": round(n_docs / secs, 1),
+        "seconds": round(ner_secs, 3),
+        "docs_per_sec": round(n_docs / ner_secs, 1),
+        "kg_seconds": round(kg_secs, 3),
+        "kg_docs_per_sec": round(n_docs / kg_secs, 1),
         "n_docs": n_docs,
     }
 
@@ -141,14 +158,17 @@ def main() -> None:
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]
     efficiency = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    kg_efficiency = (hi["kg_docs_per_sec"] / lo["kg_docs_per_sec"]) / ratio
     report = {
         "metric": "scaling_efficiency_NtoXN",
         "value": round(efficiency, 3),
         "unit": "fraction",
+        "kg_e2e_efficiency": round(kg_efficiency, 3),
         "levels": results,
         "core_ratio": ratio,
         "n_pages": N_PAGES,
-        "job": "presidio NER pipeline (pages->entities), noop-forced",
+        "job": "presidio NER pipeline (pages->entities), noop-forced;"
+        " kg_* fields: full pages->entities->triples pipeline",
     }
     print(json.dumps(report))
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:

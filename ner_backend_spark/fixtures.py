@@ -77,6 +77,23 @@ _PII_SNIPPETS = [
     "Archived at www.archive.example.com/page/77 yesterday.",
 ]
 
+# 40 diverse local-part prefixes for generated emails (see
+# pages_df_distributed): different prefixes → low trigram similarity →
+# realistic LSH bucket sizes.
+_EMAIL_NAMES = [
+    "alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi",
+    "ivan", "judy", "karim", "lena", "mallory", "nina", "oscar", "peggy",
+    "quentin", "rosa", "sybil", "trent", "ursula", "victor", "wendy",
+    "xena", "yusuf", "zelda", "arthur", "beatriz", "chen", "dmitri",
+    "elena", "farid", "gita", "hana", "ingrid", "jorge", "kofi", "lucia",
+    "marco", "noor",
+]
+
+_URL_SLUGS = [
+    "guides", "articles", "notes", "reports", "manuals", "briefs",
+    "digests", "papers", "reviews", "updates",
+]
+
 PAGES_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -177,6 +194,35 @@ def pages_df_distributed(
                     sentences.insert(
                         rng.randrange(len(sentences) + 1),
                         rng.choice(_PII_SNIPPETS),
+                    )
+                # Bounded-cardinality entity surfaces (≈2k distinct emails,
+                # ≈1k phones, ≈500 urls across any n): gives the KG layer a
+                # real mention graph — repeated surfaces across pages, plus a
+                # near-identical .alt variant per email so linking has true
+                # positives. Name prefixes keep DIFFERENT ids dissimilar
+                # (diverse LSH buckets); an all-templated surface set would
+                # collapse into one giant bucket, which is a skew pathology,
+                # not a workload.
+                # entity cardinality grows with corpus size (each surface
+                # repeats on ~120 pages on average), like real web data
+                if rng.random() < 0.5:
+                    uid = int(i) % max(2000, n // 120)
+                    name = _EMAIL_NAMES[uid % len(_EMAIL_NAMES)]
+                    sentences.append(
+                        f"Reach {name}.{uid}@example.com or the backup "
+                        f"{name}.{uid}.alt@example.com today."
+                    )
+                if rng.random() < 0.3:
+                    p = int(i) % max(1000, n // 240)
+                    sentences.append(
+                        f"Hotline 555-{p % 900 + 100:03d}-{(p * 7) % 10000:04d} "
+                        "is open around the clock."
+                    )
+                if rng.random() < 0.2:
+                    s = int(i) % max(500, n // 480)
+                    slug = _URL_SLUGS[s % len(_URL_SLUGS)]
+                    sentences.append(
+                        f"Details at https://kb.example.org/{slug}/{s}."
                     )
                 text = " ".join(sentences)
                 ts = _EPOCH + dt.timedelta(seconds=int(i) * 37)

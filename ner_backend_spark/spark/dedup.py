@@ -113,15 +113,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing >=1 LSH band bucket.
 
     Scale shape: explode to bands (bands x |docs| rows), shuffle once on
     (band, band_hash), self-join within buckets. Giant buckets (degenerate
-    content) are the skew risk — AQE skew-join splitting handles moderate
-    cases; pathological buckets should be capped upstream by filtering
-    near-empty texts.
+    content) are the skew risk: one bucket's O(m^2) pair output is a single
+    task. ``max_bucket_size`` drops buckets above the cap (boilerplate
+    documents, not meaningful near-dup candidates at web scale).
     """
     banded = signatures.select(
         "id",
@@ -138,6 +141,14 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_size")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("_bucket_size") <= max_bucket_size),
+            ["band", "band_hash"],
+        ).drop("_bucket_size")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -189,7 +200,10 @@ def near_duplicates_minhash(
 ) -> DataFrame:
     """End-to-end MinHash near-dup detection: (id_a, id_b, est_jaccard)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    sigs = sigs.persist()
+    # localCheckpoint (not persist) so the one-pass signature computation is
+    # reused by both the banding join and the verification join without
+    # leaving a persisted RDD behind after the query completes.
+    sigs = sigs.localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return estimated_jaccard(sigs, pairs).filter(
         F.col("est_jaccard") >= threshold

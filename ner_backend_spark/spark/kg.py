@@ -78,15 +78,27 @@ def alias_candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
 
 def lsh_candidate_pairs(
     mentions: DataFrame,
-    num_hashes: int = 12,
-    bands: int = 6,
+    num_hashes: int = 15,
+    bands: int = 5,
     same_label_only: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) mention pairs sharing >=1 MinHash band bucket.
 
     Signatures are built with built-in functions only:
     sig[i] = array_min(transform(trigrams, t -> hash(t, i))). Band hash =
     hash(slice(sig, ...)). Shuffle key is (band, band_hash[, label]).
+
+    Default banding 5 bands x 3 rows: collision probability ≈ 97% at
+    Jaccard 0.8 (the linking regime), ≈ 13% at 0.3 — selective enough that
+    dissimilar-surface pairs don't flood the downstream exact-Jaccard
+    verification (2 rows/band collides 43% of the time at J=0.3).
+
+    ``max_bucket_size`` is the skew guard for the self-join: a bucket of
+    size m emits O(m^2) pairs inside ONE task (join keys can't be split
+    below key granularity), so a boilerplate surface shared by 10^6
+    mentions would serialize the stage. Buckets above the cap are dropped —
+    at web scale such buckets are template strings, not linkable entities.
     """
     rows_per_band = num_hashes // bands
     sig = with_trigrams(mentions).select(
@@ -117,6 +129,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_size")
+        )
+        banded = (
+            banded.join(
+                sizes.filter(F.col("_bucket_size") <= max_bucket_size),
+                ["band", "band_hash"],
+            ).drop("_bucket_size")
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cond = (
         (F.col("l.band") == F.col("r.band"))
@@ -229,9 +251,11 @@ def connected_components(
     Input edges: (src, dst). Isolated nodes don't appear; callers union
     them back with component = own id.
     """
-    cur = edges.select("src", "dst").filter(
-        F.col("src") != F.col("dst")
-    ).distinct()
+    # Materialize the input once: the edge lineage is typically expensive
+    # (an LSH self-join), and it is consumed by the iteration seed AND the
+    # node-set below — without this it would be recomputed per consumer.
+    base = edges.select("src", "dst").localCheckpoint()
+    cur = base.filter(F.col("src") != F.col("dst")).distinct()
     prev_sum = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()
@@ -240,9 +264,10 @@ def connected_components(
             break
         prev_sum = checksum
 
-    # final edges are (node -> root) stars; roots map to themselves
-    nodes = edges.select(F.col("src").alias("id")).union(
-        edges.select(F.col("dst").alias("id"))
+    # final edges are (node -> root) stars; roots map to themselves; nodes
+    # come from the unfiltered base so self-loop-only nodes keep their id
+    nodes = base.select(F.col("src").alias("id")).union(
+        base.select(F.col("dst").alias("id"))
     ).distinct()
     parent = cur.groupBy("src").agg(F.min("dst").alias("component"))
     return nodes.join(
@@ -260,8 +285,8 @@ def canonicalize(
     entities: DataFrame,
     alias_df: DataFrame | None = None,
     threshold: float = 0.5,
-    num_hashes: int = 12,
-    bands: int = 6,
+    num_hashes: int = 15,
+    bands: int = 5,
 ) -> DataFrame:
     """(label, text, canonical): canonical surface/id per mention cluster.
 
@@ -291,14 +316,18 @@ def canonicalize(
 
     comp = connected_components(edges)
 
-    labeled = mentions.join(
-        comp, mentions.mention_id == comp.id, "left"
-    ).select(
-        "mention_id",
-        "label",
-        "text",
-        "norm",
-        F.coalesce("component", F.col("mention_id")).alias("component"),
+    # `labeled` feeds three consumers (rep, comp_alias, the final join);
+    # materialize so the mention⋈component join runs once, not per consumer.
+    labeled = (
+        mentions.join(comp, mentions.mention_id == comp.id, "left")
+        .select(
+            "mention_id",
+            "label",
+            "text",
+            "norm",
+            F.coalesce("component", F.col("mention_id")).alias("component"),
+        )
+        .localCheckpoint()
     )
 
     # representative surface: smallest (norm, text) in the component
@@ -336,6 +365,11 @@ def build_triples(
     (url, HAS_<LABEL>, canonical_entity) from entities;
     (url, IN_GROUP, group_name) from object_groups (FIXTURES.md §2).
     """
+    # entities is consumed twice (mention extraction + the final HAS join);
+    # materialize so an expensive upstream (the NER tagger) runs once — the
+    # same reason the reference persists object_entities before reading it
+    # back (internal/core/processor.go:349-358).
+    entities = entities.localCheckpoint(eager=False)
     canon = canonicalize(entities, alias_df, threshold)
     has = (
         entities.join(canon, ["label", "text"])
