@@ -469,6 +469,41 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media, dim=16)
 
 
+def _q_previews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preview builder (T7, processor.go:438-517): first-1000-token
+    alternating O/label segments per document."""
+    from ner_backend_spark.spark.pipeline import run_report
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    config = ReportConfig.make(
+        model_type="regex",
+        model_params={"patterns": dict(DOC_PATTERNS)},
+        build_previews=True,
+    )
+    out = run_report(docs, config)
+    return out.previews.select(
+        "url", F.size("tokens").alias("n_tokens"), F.size("tags").alias("n_tags")
+    )
+
+
+def _q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-redaction semantics (T8, session.go:67-107) applied per document
+    as a distributed kernel."""
+    from ner_backend_spark.spark.redaction import redact_documents
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    config = ReportConfig.make(
+        model_type="regex", model_params={"patterns": dict(DOC_PATTERNS)}
+    )
+    return redact_documents(docs, config)
+
+
 def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.similarity import embedding_near_duplicates
 
@@ -561,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": _q_ivf_ann,
         "q_crf_pipeline": _q_crf_pipeline,
         "q_multimodal_features": _q_multimodal_features,
+        "q_previews": _q_previews,
+        "q_redaction": _q_redaction,
         "q_embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "q_ner_pipeline": _q_ner_pipeline,
         "q_presidio_pages": _q_presidio_pages,

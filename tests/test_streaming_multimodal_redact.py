@@ -105,3 +105,33 @@ def test_redaction_stable_placeholders():
     red2, meta = redact("New number 999-888-7777 and 123-456-7890", model, meta)
     assert red2 == "New number [PHONENUMBER_2] and [PHONENUMBER_1]"
     assert meta.tag_map["[PHONENUMBER_1]"] == "123-456-7890"
+
+
+def test_redact_documents_matches_driver_side(spark):
+    """Distributed per-doc redaction == core redact_spans per doc."""
+    from ner_backend_spark.core.models import load_model
+    from ner_backend_spark.core.postprocess import filter_entities
+    from ner_backend_spark.core.redact import TagMetadata, redact_spans
+    from ner_backend_spark.spark.redaction import redact_documents
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    patterns = {"PHONENUMBER": r"\d{3}-\d{3}-\d{4}", "EMAIL": r"\S+@\S+\.\S+"}
+    rows = [
+        ("u1", "call 012-345-6789 or mail a@b.com now"),
+        ("u2", "twice 012-345-6789 and 012-345-6789"),
+        ("u3", "nothing here"),
+        ("u4", ""),
+    ]
+    docs = spark.createDataFrame(rows, ["url", "text"])
+    config = ReportConfig.make(model_type="regex", model_params={"patterns": patterns})
+    got = {r["url"]: (r["redacted"], r["n_redactions"])
+           for r in redact_documents(docs, config).collect()}
+
+    model = load_model("regex", {"patterns": patterns})
+    for url, text in rows:
+        tb = text.encode()
+        ents = filter_entities(tb, model.predict(tb))
+        want, meta = redact_spans(tb, ents, TagMetadata())
+        assert got[url] == (want, len(meta.tag_map)), url
+    # stable placeholder reuse: same surface twice -> one tag
+    assert got["u2"][1] == 1 and got["u2"][0].count("[PHONENUMBER_1]") == 2
