@@ -1,0 +1,223 @@
+"""Stage-grained checkpointing for the KG-construction layer.
+
+The report stage resumes per url-hash bucket (checkpoint.py) because its
+work is embarrassingly url-partitioned. The KG layer is NOT url-partitioned —
+connected components is a global fixpoint — so its resume granularity is the
+STAGE: each stage's output is materialized to parquet and recorded in a
+stage-checkpoint table with counters + lineage; a restarted run skips every
+COMPLETED stage and recomputes only from the first missing one
+(north_rule: "Every stage checkpoints per-partition watermarks with lineage
+and counter metrics so a killed job resumes without reprocessing completed
+partitions" — here the stage table IS the watermark, and each stage's
+parquet is itself bucket-partitioned for downstream pruning).
+
+Stage DAG (linear):
+
+    mentions -> edges -> components -> canonical -> triples
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .kg import (
+    alias_candidates,
+    canonical_map,
+    connected_components,
+    extract_mentions,
+    lsh_candidate_pairs,
+    score_links,
+)
+
+KG_STAGES = ["mentions", "edges", "components", "canonical", "triples"]
+
+KG_CHECKPOINT_SCHEMA = StructType(
+    [
+        StructField("stage", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("run_id", StringType(), False),
+        StructField("start_ts", DoubleType(), False),
+        StructField("end_ts", DoubleType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("lineage", StringType(), False),
+    ]
+)
+
+STATUS_COMPLETED = "COMPLETED"
+
+
+def completed_stages(spark: SparkSession, base_path: str) -> set[str]:
+    try:
+        rows = (
+            spark.read.schema(KG_CHECKPOINT_SCHEMA)
+            .parquet(f"{base_path}/kg_checkpoints")
+            .filter(F.col("status") == STATUS_COMPLETED)
+            .select("stage")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return set()
+    return {r["stage"] for r in rows}
+
+
+class CheckpointedKgRunner:
+    """entities (+groups) -> triples with per-stage commit + resume.
+
+    ``fail_after_stages`` injects a crash for the kill/resume tests.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        alias_df: DataFrame | None = None,
+        threshold: float = 0.5,
+        num_hashes: int = 15,
+        bands: int = 5,
+    ):
+        self.spark = spark
+        self.base_path = base_path
+        self.alias_df = alias_df
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+
+    def _path(self, stage: str) -> str:
+        return f"{self.base_path}/kg/{stage}"
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(stage))
+
+    def _commit(
+        self, stage: str, df: DataFrame, run_id: str, t0: float, lineage: str
+    ) -> None:
+        df.write.mode("overwrite").parquet(self._path(stage))
+        n = self.spark.read.parquet(self._path(stage)).count()
+        self.spark.createDataFrame(
+            [(stage, STATUS_COMPLETED, run_id, float(t0), time.time(), int(n), lineage)],
+            KG_CHECKPOINT_SCHEMA,
+        ).write.mode("append").parquet(f"{self.base_path}/kg_checkpoints")
+
+    def run(
+        self,
+        entities: DataFrame,
+        object_groups: DataFrame | None = None,
+        fail_after_stages: int | None = None,
+    ) -> dict:
+        run_id = str(uuid.uuid4())
+        done = completed_stages(self.spark, self.base_path)
+        lineage = json.dumps(
+            {"run_id": run_id, "threshold": self.threshold, "bands": self.bands}
+        )
+        ran: list[str] = []
+
+        def maybe_fail() -> None:
+            if fail_after_stages is not None and len(ran) >= fail_after_stages:
+                raise RuntimeError(
+                    f"injected failure after stages {ran} (run {run_id})"
+                )
+
+        if "mentions" not in done:
+            t0 = time.time()
+            self._commit("mentions", extract_mentions(entities), run_id, t0, lineage)
+            ran.append("mentions")
+            maybe_fail()
+
+        if "edges" not in done:
+            t0 = time.time()
+            mentions = self._read("mentions")
+            pairs = lsh_candidate_pairs(mentions, self.num_hashes, self.bands)
+            sim = score_links(pairs, mentions, self.threshold).select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+            if self.alias_df is not None:
+                hits = alias_candidates(mentions, self.alias_df)
+                sim = sim.union(
+                    hits.select(
+                        F.col("mention_id").alias("src"),
+                        F.xxhash64(
+                            F.concat(F.lit("alias:"), "canonical_id")
+                        ).alias("dst"),
+                    )
+                )
+            self._commit("edges", sim, run_id, t0, lineage)
+            ran.append("edges")
+            maybe_fail()
+
+        if "components" not in done:
+            t0 = time.time()
+            comp = connected_components(self._read("edges"))
+            self._commit("components", comp, run_id, t0, lineage)
+            ran.append("components")
+            maybe_fail()
+
+        if "canonical" not in done:
+            t0 = time.time()
+            mentions = self._read("mentions")
+            hits = (
+                alias_candidates(mentions, self.alias_df)
+                if self.alias_df is not None
+                else None
+            )
+            canon = canonical_map(mentions, self._read("components"), hits)
+            self._commit("canonical", canon, run_id, t0, lineage)
+            ran.append("canonical")
+            maybe_fail()
+
+        if "triples" not in done:
+            t0 = time.time()
+            has = (
+                entities.join(self._read("canonical"), ["label", "text"])
+                .select(
+                    F.col("url").alias("subj"),
+                    F.concat(F.lit("HAS_"), F.col("label")).alias("pred"),
+                    F.col("canonical").alias("obj"),
+                )
+                .distinct()
+            )
+            if object_groups is not None:
+                has = has.unionByName(
+                    object_groups.select(
+                        F.col("url").alias("subj"),
+                        F.lit("IN_GROUP").alias("pred"),
+                        F.col("group_name").alias("obj"),
+                    ).distinct()
+                )
+            self._commit("triples", has, run_id, t0, lineage)
+            ran.append("triples")
+
+        return {"run_id": run_id, "stages_run": ran, "stages_skipped": sorted(done)}
+
+
+def kg_stage_metrics(spark: SparkSession, base_path: str) -> dict:
+    """Per-stage wall time + row counters from the stage-checkpoint table."""
+    df = (
+        spark.read.schema(KG_CHECKPOINT_SCHEMA)
+        .parquet(f"{base_path}/kg_checkpoints")
+        .filter(F.col("status") == STATUS_COMPLETED)
+    )
+    latest = df.groupBy("stage").agg(
+        F.max("end_ts").alias("end_ts"),
+        F.min("start_ts").alias("start_ts"),
+        F.last("n_rows").alias("n_rows"),
+    )
+    return {
+        r["stage"]: {
+            "seconds": round(r["end_ts"] - r["start_ts"], 3),
+            "n_rows": r["n_rows"],
+        }
+        for r in latest.collect()
+    }

@@ -315,7 +315,19 @@ def canonicalize(
         edges = sim_edges
 
     comp = connected_components(edges)
+    out = canonical_map(mentions, comp, hits)
+    mentions.unpersist()
+    return out
 
+
+def canonical_map(
+    mentions: DataFrame, comp: DataFrame, hits: DataFrame | None = None
+) -> DataFrame:
+    """(label, text, canonical) from materialized mentions + components.
+
+    Factored out of :func:`canonicalize` so the stage-checkpointed runner
+    (checkpoint_kg.py) can resume from on-disk mentions/components tables.
+    """
     # `labeled` feeds three consumers (rep, comp_alias, the final join);
     # materialize so the mention⋈component join runs once, not per consumer.
     labeled = (
@@ -349,9 +361,7 @@ def canonicalize(
     else:
         rep = rep.select("component", F.col("rep_text").alias("canonical"))
 
-    out = labeled.join(rep, "component").select("label", "text", "canonical")
-    mentions.unpersist()
-    return out
+    return labeled.join(rep, "component").select("label", "text", "canonical")
 
 
 def build_triples(

@@ -110,3 +110,77 @@ def test_checkpoint_lineage_and_metrics(spark, pages, tmp_path):
     assert m["n_docs"] == 120
     assert m["docs_per_sec"] > 0
     assert m["n_entities"] >= 21
+
+
+# ---------------------------------------------------------------------------
+# stage-grained KG resume
+
+
+def _kg_entities(spark):
+    from pyspark.sql import functions as F
+
+    from ner_backend_spark.spark.native import regex_entities
+
+    pages = fixtures.pages_df(spark, n=120)
+    pats = {"WORD": r"\b[a-z]{5,}\b", "EMAIL": r"\S+@\S+\.\S+"}
+    return regex_entities(pages, "url", "text", pats).select(
+        F.col("url").cast("string").alias("url"), "label", "text"
+    )
+
+
+def test_kg_kill_and_resume_skips_completed_stages(spark, tmp_path):
+    import os
+
+    from ner_backend_spark.spark.checkpoint_kg import (
+        CheckpointedKgRunner,
+        completed_stages,
+        kg_stage_metrics,
+    )
+
+    base = str(tmp_path / "kgrun")
+    ents = _kg_entities(spark).localCheckpoint()
+    alias_df = spark.createDataFrame(
+        [("about", "ENT_ABOUT")], "surface string, canonical_id string"
+    )
+
+    runner = CheckpointedKgRunner(spark, base, alias_df=alias_df)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(ents, fail_after_stages=2)
+    assert completed_stages(spark, base) == {"mentions", "edges"}
+    mentions_mtime = os.path.getmtime(f"{base}/kg/mentions/_SUCCESS")
+
+    # resume: completes the rest without rewriting finished stages
+    res = CheckpointedKgRunner(spark, base, alias_df=alias_df).run(ents)
+    assert res["stages_run"] == ["components", "canonical", "triples"]
+    assert res["stages_skipped"] == ["edges", "mentions"]
+    assert os.path.getmtime(f"{base}/kg/mentions/_SUCCESS") == mentions_mtime
+
+    triples = spark.read.parquet(f"{base}/kg/triples")
+    assert triples.count() > 0
+    assert {r["pred"] for r in triples.select("pred").distinct().collect()} == {
+        "HAS_WORD", "HAS_EMAIL"
+    }
+    metrics = kg_stage_metrics(spark, base)
+    assert set(metrics) == {"mentions", "edges", "components", "canonical", "triples"}
+    assert all(m["n_rows"] > 0 for m in metrics.values())
+
+
+def test_kg_checkpointed_matches_direct_build(spark, tmp_path):
+    from ner_backend_spark.spark.checkpoint_kg import CheckpointedKgRunner
+    from ner_backend_spark.spark.kg import build_triples
+
+    base = str(tmp_path / "kgsame")
+    ents = _kg_entities(spark).localCheckpoint()
+    alias_df = spark.createDataFrame(
+        [("about", "ENT_ABOUT")], "surface string, canonical_id string"
+    )
+    CheckpointedKgRunner(spark, base, alias_df=alias_df).run(ents)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(f"{base}/kg/triples").collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in build_triples(ents, None, alias_df).collect()
+    }
+    assert got == want

@@ -32,10 +32,15 @@ def main() -> None:
 
     # Import AFTER spark-submit ships --py-files; proves the deploy path.
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    from ner_backend_spark.spark.kg import build_triples, write_triples
-    from ner_backend_spark.spark.pipeline import run_report, write_outputs
+    from ner_backend_spark.spark.checkpoint import (
+        CheckpointedReportRunner,
+        throughput_metrics,
+    )
+    from ner_backend_spark.spark.checkpoint_kg import (
+        CheckpointedKgRunner,
+        kg_stage_metrics,
+    )
     from ner_backend_spark.spark.tagger import ReportConfig
 
     spark = SparkSession.builder.appName("ner-backend-pipeline").getOrCreate()
@@ -48,13 +53,23 @@ def main() -> None:
         custom_tags={"custom_token": r"a1b2c3"},
         groups={"has_email": "COUNT(EMAIL) > 0"},
     )
-    out = run_report(pages, config)
-    write_outputs(out, args.out, n_buckets=args.n_buckets)
+    # Bucket-resumable report stage: a killed job resumes here without
+    # reprocessing completed url-hash buckets.
+    report = CheckpointedReportRunner(
+        spark,
+        config,
+        args.out,
+        n_buckets=args.n_buckets,
+        buckets_per_commit=max(1, args.n_buckets // 8),
+    )
+    report_res = report.run(pages)
 
     summary = {
         "pages": spark.read.parquet(args.pages).count(),
         "entities": spark.read.parquet(f"{args.out}/entities").count(),
         "groups": spark.read.parquet(f"{args.out}/object_groups").count(),
+        "report_buckets_processed": report_res["processed_buckets"],
+        "report_metrics": throughput_metrics(spark, args.out),
     }
     if args.triples:
         entities = spark.read.parquet(f"{args.out}/entities").select(
@@ -63,15 +78,15 @@ def main() -> None:
         groups = spark.read.parquet(f"{args.out}/object_groups").select(
             "url", "group_name"
         )
-        triples = build_triples(entities, groups)
-        write_triples(triples, f"{args.out}/triples", n_buckets=args.n_buckets)
-        summary["triples"] = spark.read.parquet(f"{args.out}/triples").count()
-        summary["preds"] = (
-            spark.read.parquet(f"{args.out}/triples")
-            .select("pred")
-            .distinct()
-            .count()
-        )
+        # Stage-resumable KG layer: mentions -> edges -> components ->
+        # canonical -> triples, each committed + checkpointed.
+        kg_res = CheckpointedKgRunner(spark, args.out).run(entities, groups)
+        summary["triples"] = spark.read.parquet(
+            f"{args.out}/kg/triples"
+        ).count()
+        summary["kg_stages_run"] = kg_res["stages_run"]
+        summary["kg_stages_skipped"] = kg_res["stages_skipped"]
+        summary["kg_metrics"] = kg_stage_metrics(spark, args.out)
     summary["seconds"] = round(time.monotonic() - t0, 1)
     print("PIPELINE_SUMMARY " + json.dumps(summary))
     spark.stop()
