@@ -469,6 +469,32 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media, dim=16)
 
 
+def _q_merged_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 ensemble merge (transformer_presidio/models.py:30-99): primary
+    model wins overlap conflicts, same-label clusters union their spans."""
+    from ner_backend_spark.spark.pipeline import run_report
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    config = ReportConfig.make(
+        model_type="merged",
+        model_params={
+            "primary": {
+                "type": "regex",
+                "params": {"patterns": {"kw_spark": r"\bspark\b"}},
+            },
+            "secondary": {
+                "type": "regex",
+                "params": {"patterns": {"kw_s_word": r"\bs\w+\b"}},
+            },
+        },
+        tags={"kw_spark", "kw_s_word"},
+    )
+    return run_report(docs, config).entities
+
+
 def _q_previews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preview builder (T7, processor.go:438-517): first-1000-token
     alternating O/label segments per document."""
@@ -598,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": _q_multimodal_features,
         "q_previews": _q_previews,
         "q_redaction": _q_redaction,
+        "q_merged_model": _q_merged_model,
         "q_embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "q_ner_pipeline": _q_ner_pipeline,
         "q_presidio_pages": _q_presidio_pages,

@@ -77,6 +77,17 @@ def _load_cnn_crf(params: dict) -> object:
     return CnnCrfModel.from_params(params)
 
 
+def _load_merged(params: dict) -> object:
+    """P5 ensemble: {'primary': {'type','params'}, 'secondary': {...}}."""
+    from .ensemble import MergedModel
+
+    p, s = params["primary"], params["secondary"]
+    return MergedModel(
+        load_model(p["type"], p.get("params")),
+        load_model(s["type"], s.get("params")),
+    )
+
+
 # Registry, mirroring NewModelLoaders (model.go:56-75). Loaders take a params
 # dict rather than a model dir: this engine ships model state via Spark
 # broadcast, not via object-store downloads.
@@ -86,6 +97,7 @@ MODEL_LOADERS: dict[str, Callable[[dict], object]] = {
         params.get("threshold", DEFAULT_PRESIDIO_THRESHOLD)
     ),
     "cnn_crf": _load_cnn_crf,
+    "merged": _load_merged,
 }
 
 
