@@ -80,3 +80,29 @@ def search_objects(query: str, rows: list[Row]) -> set[str]:
         for obj, label, text in rows
         if _eval_row(tree, label, text, label_totals)
     }
+
+
+def median_word_count(token_counts: list[int]) -> int:
+    """internal/api/utils.go:202-219: integer-division median of sorted
+    per-sample token counts (even length averages the middle pair with
+    integer division)."""
+    if not token_counts:
+        return 0
+    counts = sorted(token_counts)
+    mid = len(counts) // 2
+    if len(counts) % 2 == 0:
+        return (counts[mid - 1] + counts[mid]) // 2
+    return counts[mid]
+
+
+def auto_tune_k(token_counts: list[int], base_k: int, alpha: float) -> int:
+    """internal/api/utils.go:221-231: retrieval-k heuristic — shorter
+    feedback samples need more records (k up), longer ones fewer (k down);
+    k = base_k * ln(1 + alpha/median), floored at 2."""
+    import math
+
+    count = median_word_count(token_counts)
+    if count <= 0:
+        return base_k
+    k = float(base_k) * math.log(1 + alpha / float(count))
+    return max(int(k), 2)

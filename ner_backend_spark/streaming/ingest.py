@@ -39,16 +39,29 @@ def stream_entities(
     output_path: str,
     checkpoint_path: str,
     available_now: bool = True,
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
-    """Incremental text->entities; append sink, exactly-once per input file."""
+    """Incremental text->entities; append sink, exactly-once per input file.
+
+    With ``n_buckets`` the sink is partitioned by the same
+    ``pmod(xxhash64(url), n)`` bucket as the batch layout
+    (checkpoint.with_partition_id), so a stream-fed entities table is
+    directly consumable by the bucket-pruned batch readers and the KG layer.
+    """
     rows = tag_documents(pages_stream, config)
     entities = explode_entities(rows)
+    if n_buckets is not None:
+        entities = entities.withColumn(
+            "partition_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets))
+        )
     writer = (
         entities.writeStream.format("parquet")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
     )
+    if n_buckets is not None:
+        writer = writer.partitionBy("partition_id")
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -125,3 +125,18 @@ def test_search_backend_golden():
         (obj, e.label, e.text) for obj, ents in SEARCH_SEED.items() for e in ents
     ]
     assert search_objects(SEARCH_QUERY, rows) == {"object1", "object3"}
+
+
+def test_auto_tune_k_reference_semantics():
+    from ner_backend_spark.core.search import auto_tune_k, median_word_count
+
+    # utils.go:202-231 golden behavior
+    assert median_word_count([]) == 0
+    assert median_word_count([5]) == 5
+    assert median_word_count([2, 10]) == 6
+    assert median_word_count([1, 2, 4, 9]) == 3  # (2+4)//2
+    assert auto_tune_k([], 10, 100.0) == 10  # empty -> baseK
+    import math
+    want = max(int(10 * math.log(1 + 100.0 / 5)), 2)
+    assert auto_tune_k([5], 10, 100.0) == want
+    assert auto_tune_k([10**9], 10, 1.0) == 2  # floor at 2

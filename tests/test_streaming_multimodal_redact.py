@@ -135,3 +135,42 @@ def test_redact_documents_matches_driver_side(spark):
         assert got[url] == (want, len(meta.tag_map)), url
     # stable placeholder reuse: same surface twice -> one tag
     assert got["u2"][1] == 1 and got["u2"][0].count("[PHONENUMBER_1]") == 2
+
+
+def test_stream_entities_bucketed_layout(spark, tmp_path):
+    """Streamed entities land in the batch-compatible bucketed layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ner_backend_spark import fixtures
+    from ner_backend_spark.spark.tagger import ReportConfig
+    from ner_backend_spark.streaming.ingest import (
+        read_pages_stream,
+        stream_entities,
+    )
+
+    inp = str(tmp_path / "pages_in")
+    outp = str(tmp_path / "entities_out")
+    ckpt = str(tmp_path / "ckpt")
+    fixtures.pages_df(spark, n=60).write.parquet(inp)
+
+    config = ReportConfig.make(
+        model_type="regex",
+        model_params={"patterns": {"WORD": r"\b[a-z]{6,}\b"}},
+    )
+    q = stream_entities(
+        read_pages_stream(spark, inp), config, outp, ckpt, n_buckets=8
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(outp)
+    assert "partition_id" in got.columns
+    dirs = {d for d in os.listdir(outp) if d.startswith("partition_id=")}
+    assert len(dirs) > 1  # actually bucketed on disk
+    # bucket assignment matches the batch convention
+    bad = got.filter(
+        F.col("partition_id") != F.pmod(F.xxhash64("url"), F.lit(8))
+    ).count()
+    assert bad == 0
+    assert got.count() > 0
