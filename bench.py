@@ -73,9 +73,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = qs[name](spark, SF_DIR)
+        # clock starts BEFORE construction: operators that materialize
+        # intermediates eagerly (localCheckpoint inside the KG pipeline)
+        # would otherwise run most of their work outside the timer
         t0 = time.monotonic()
-        force(df)
+        force(qs[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -34,6 +34,10 @@ def merge_predictions(
     cluster: list[tuple[Entity, bool]] = []
     cluster_end = -1
     for ent, is_primary in items:
+        # NOTE `<=` with end-EXCLUSIVE spans means adjacent touching spans
+        # (a.end == b.start) land in one cluster. That is the reference's
+        # own comparison (models.py:55 `s <= cluster_end` on
+        # python-slice-convention entities) — kept bug-for-bug.
         if cluster and ent.start <= cluster_end:
             cluster.append((ent, is_primary))
             cluster_end = max(cluster_end, ent.end)

@@ -58,19 +58,26 @@ KG_CHECKPOINT_SCHEMA = StructType(
 STATUS_COMPLETED = "COMPLETED"
 
 
-def completed_stages(spark: SparkSession, base_path: str) -> set[str]:
+def _read_checkpoint_rows(spark: SparkSession, base_path: str):
+    from pyspark.errors import AnalysisException
+
     try:
-        rows = (
+        return (
             spark.read.schema(KG_CHECKPOINT_SCHEMA)
             .parquet(f"{base_path}/kg_checkpoints")
             .filter(F.col("status") == STATUS_COMPLETED)
-            .select("stage")
-            .distinct()
             .collect()
         )
-    except Exception:
-        return set()
-    return {r["stage"] for r in rows}
+    except AnalysisException:
+        # first run: the checkpoint table doesn't exist yet. Any OTHER
+        # error (storage hiccup etc.) must propagate — silently treating it
+        # as "nothing completed" would recompute everything and append
+        # duplicate COMPLETED rows.
+        return []
+
+
+def completed_stages(spark: SparkSession, base_path: str) -> set[str]:
+    return {r["stage"] for r in _read_checkpoint_rows(spark, base_path)}
 
 
 class CheckpointedKgRunner:
@@ -87,6 +94,7 @@ class CheckpointedKgRunner:
         threshold: float = 0.5,
         num_hashes: int = 15,
         bands: int = 5,
+        max_bucket_size: int | None = None,
     ):
         self.spark = spark
         self.base_path = base_path
@@ -94,6 +102,7 @@ class CheckpointedKgRunner:
         self.threshold = threshold
         self.num_hashes = num_hashes
         self.bands = bands
+        self.max_bucket_size = max_bucket_size
 
     def _path(self, stage: str) -> str:
         return f"{self.base_path}/kg/{stage}"
@@ -111,6 +120,15 @@ class CheckpointedKgRunner:
             KG_CHECKPOINT_SCHEMA,
         ).write.mode("append").parquet(f"{self.base_path}/kg_checkpoints")
 
+    def _lineage_params(self) -> dict:
+        return {
+            "threshold": self.threshold,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "has_alias": self.alias_df is not None,
+            "max_bucket_size": self.max_bucket_size,
+        }
+
     def run(
         self,
         entities: DataFrame,
@@ -118,10 +136,25 @@ class CheckpointedKgRunner:
         fail_after_stages: int | None = None,
     ) -> dict:
         run_id = str(uuid.uuid4())
-        done = completed_stages(self.spark, self.base_path)
-        lineage = json.dumps(
-            {"run_id": run_id, "threshold": self.threshold, "bands": self.bands}
-        )
+        prior = _read_checkpoint_rows(self.spark, self.base_path)
+        done = {r["stage"] for r in prior}
+        # Resume safety: refuse to graft new-parameter stages onto outputs
+        # computed under different parameters — that would be a silent
+        # cross-parameter hybrid presented as a clean run.
+        params = self._lineage_params()
+        for r in prior:
+            recorded = {
+                k: v
+                for k, v in json.loads(r["lineage"]).items()
+                if k in params
+            }
+            if recorded and recorded != params:
+                raise ValueError(
+                    f"checkpoint at {self.base_path} was written with "
+                    f"{recorded}, current run uses {params}; clear "
+                    f"{self.base_path}/kg_checkpoints (and kg/) or match them"
+                )
+        lineage = json.dumps({"run_id": run_id, **params})
         ran: list[str] = []
 
         def maybe_fail() -> None:
@@ -139,7 +172,12 @@ class CheckpointedKgRunner:
         if "edges" not in done:
             t0 = time.time()
             mentions = self._read("mentions")
-            pairs = lsh_candidate_pairs(mentions, self.num_hashes, self.bands)
+            pairs = lsh_candidate_pairs(
+                mentions,
+                self.num_hashes,
+                self.bands,
+                max_bucket_size=self.max_bucket_size,
+            )
             sim = score_links(pairs, mentions, self.threshold).select(
                 F.col("id_a").alias("src"), F.col("id_b").alias("dst")
             )
@@ -209,15 +247,16 @@ def kg_stage_metrics(spark: SparkSession, base_path: str) -> dict:
         .parquet(f"{base_path}/kg_checkpoints")
         .filter(F.col("status") == STATUS_COMPLETED)
     )
+    # deterministic latest-attempt-wins: pick the whole row with max end_ts
+    # (F.last is partition-order-dependent; mixing min(start)/max(end)
+    # across attempts would report the gap between two runs as a duration)
     latest = df.groupBy("stage").agg(
-        F.max("end_ts").alias("end_ts"),
-        F.min("start_ts").alias("start_ts"),
-        F.last("n_rows").alias("n_rows"),
+        F.max(F.struct("end_ts", "start_ts", "n_rows")).alias("w")
     )
     return {
         r["stage"]: {
-            "seconds": round(r["end_ts"] - r["start_ts"], 3),
-            "n_rows": r["n_rows"],
+            "seconds": round(r["w"]["end_ts"] - r["w"]["start_ts"], 3),
+            "n_rows": r["w"]["n_rows"],
         }
         for r in latest.collect()
     }

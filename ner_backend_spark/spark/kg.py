@@ -130,13 +130,22 @@ def lsh_candidate_pairs(
         ).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "band_hash").agg(
+        # bucket granularity must match the join key: with same_label_only
+        # the self-join groups on (band, band_hash, label), so occupancy is
+        # counted per label too — otherwise a mixed-label bucket could be
+        # dropped even though each actual join group is small
+        bucket_cols = (
+            ["band", "band_hash", "label"]
+            if same_label_only
+            else ["band", "band_hash"]
+        )
+        sizes = banded.groupBy(*bucket_cols).agg(
             F.count(F.lit(1)).alias("_bucket_size")
         )
         banded = (
             banded.join(
                 sizes.filter(F.col("_bucket_size") <= max_bucket_size),
-                ["band", "band_hash"],
+                bucket_cols,
             ).drop("_bucket_size")
         )
     l, r = banded.alias("l"), banded.alias("r")
@@ -287,6 +296,7 @@ def canonicalize(
     threshold: float = 0.5,
     num_hashes: int = 15,
     bands: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(label, text, canonical): canonical surface/id per mention cluster.
 
@@ -297,13 +307,18 @@ def canonicalize(
     """
     mentions = extract_mentions(entities).persist()
 
-    pairs = lsh_candidate_pairs(mentions, num_hashes, bands)
+    pairs = lsh_candidate_pairs(
+        mentions, num_hashes, bands, max_bucket_size=max_bucket_size
+    )
     sim_edges = score_links(pairs, mentions, threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
 
     if alias_df is not None:
-        hits = alias_candidates(mentions, alias_df)
+        # materialized: hits is consumed by the alias edges AND (lazily, in
+        # the returned plan) by canonical_map's comp_alias branch, which
+        # would otherwise re-derive mentions after the unpersist below
+        hits = alias_candidates(mentions, alias_df).localCheckpoint()
         # connect mentions through a per-dictionary-entry virtual node
         alias_edges = hits.select(
             F.col("mention_id").alias("src"),
@@ -369,6 +384,7 @@ def build_triples(
     object_groups: DataFrame | None = None,
     alias_df: DataFrame | None = None,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(subj, pred, obj) triples, canonicalized.
 
@@ -380,7 +396,9 @@ def build_triples(
     # same reason the reference persists object_entities before reading it
     # back (internal/core/processor.go:349-358).
     entities = entities.localCheckpoint(eager=False)
-    canon = canonicalize(entities, alias_df, threshold)
+    canon = canonicalize(
+        entities, alias_df, threshold, max_bucket_size=max_bucket_size
+    )
     has = (
         entities.join(canon, ["label", "text"])
         .select(

@@ -168,6 +168,37 @@ def lsh_topk(
     )
 
 
+
+def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    """Shared by ivf_assignments and ivf_topk — the two MUST use identical
+    centroids or queries probe cells vectors were never assigned to."""
+    rng = np.random.RandomState(seed)
+    cents = rng.normal(size=(n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _centroid_scores(vec_col: str, cents: np.ndarray):
+    """array<struct(score, cid)>: dot product of `vec_col` with each centroid."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(v)) for v in cents[cid]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in range(len(cents))
+        ]
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -243,9 +274,7 @@ def ivf_topk(
     here it is a shuffle key. Centroids are the same deterministic unit
     vectors as :func:`ivf_assignments`.
     """
-    rng = np.random.RandomState(seed)
-    cents = rng.normal(size=(n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = _centroids(dim, n_centroids, seed)
 
     assigned = ivf_assignments(
         embeddings, dim, n_centroids, id_col, vec_col, seed
@@ -256,23 +285,7 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
     # per-query centroid scores -> sort desc -> keep nprobe -> explode
-    scores = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "q_vec",
-                        F.array(*[F.lit(float(v)) for v in cents[cid]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in range(n_centroids)
-        ]
-    )
+    scores = _centroid_scores("q_vec", cents)
     probes = q.select(
         "query_id",
         "q_vec",
@@ -318,9 +331,7 @@ def ivf_assignments(
     seed-fixed random unit vectors (a k-means step can refine them without
     changing the operator shape).
     """
-    rng = np.random.RandomState(seed)
-    cents = rng.normal(size=(n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = _centroids(dim, n_centroids, seed)
     out = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -329,21 +340,5 @@ def ivf_assignments(
     # over (score, cid) struct ordering. (A chained when(score > best, ...)
     # construction re-embeds every previous score expression and blows up
     # exponentially in Catalyst — 2^n_centroids nodes.)
-    scores = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "vec",
-                        F.array(*[F.lit(float(v)) for v in cents[cid]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in range(n_centroids)
-        ]
-    )
+    scores = _centroid_scores("vec", cents)
     return out.select("id", F.array_max(scores)["cid"].alias("centroid_id"))

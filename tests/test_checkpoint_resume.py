@@ -184,3 +184,19 @@ def test_kg_checkpointed_matches_direct_build(spark, tmp_path):
         for r in build_triples(ents, None, alias_df).collect()
     }
     assert got == want
+
+
+def test_kg_resume_rejects_parameter_mismatch(spark, tmp_path):
+    from ner_backend_spark.spark.checkpoint_kg import CheckpointedKgRunner
+
+    base = str(tmp_path / "kgparams")
+    ents = _kg_entities(spark).localCheckpoint()
+    runner = CheckpointedKgRunner(spark, base, threshold=0.5)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        runner.run(ents, fail_after_stages=1)
+    # resuming with a different threshold must refuse, not silently hybridize
+    with pytest.raises(ValueError, match="was written with"):
+        CheckpointedKgRunner(spark, base, threshold=0.9).run(ents)
+    # matching parameters resume fine
+    res = CheckpointedKgRunner(spark, base, threshold=0.5).run(ents)
+    assert res["stages_skipped"] == ["mentions"]

@@ -109,3 +109,13 @@ def test_merged_model_registry_end_to_end():
     # single primary label in cluster -> union span (same end here)
     assert [(e.label, e.start, e.end) for e in got] == [("PHONE", 11, 23)]
     assert model.get_tags() == ["NUM", "PHONE"]
+
+
+def test_merge_adjacent_touching_spans_cluster_reference_faithful():
+    # end-exclusive spans (11,23) and (23,26) share no bytes, but the
+    # reference clusters on `s <= cluster_end` (models.py:55) so they merge;
+    # we pin that bug-for-bug
+    prim = [_e("PHONENUMBER", 11, 23)]
+    sec = [_e("PHONENUMBER", 23, 26)]
+    got = merge_predictions(prim, sec, TEXT)
+    assert [(e.label, e.start, e.end) for e in got] == [("PHONENUMBER", 11, 26)]

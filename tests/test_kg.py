@@ -112,3 +112,27 @@ def test_write_triples_partitioned(spark, entities, tmp_path):
     # partition pruning on pred: reading one predicate touches one dir
     preds = {r["pred"] for r in back.select("pred").distinct().collect()}
     assert "HAS_NAME" in preds
+
+
+def test_lsh_bucket_cap_counts_per_label(spark):
+    """Mixed-label buckets must not be dropped when the join is label-scoped:
+    occupancy is counted per (band, band_hash, label)."""
+    from ner_backend_spark.spark import kg
+
+    # identical NORMS under two labels -> identical trigram signatures, so
+    # every band bucket holds n_A + n_B mentions but each label's join group
+    # is only n_A (or n_B)
+    rows = [("A", f"w{i}", "widget") for i in range(6)] + [
+        ("B", f"w{i}", "widget") for i in range(6)
+    ]
+    mentions = spark.createDataFrame(
+        rows, ["label", "text", "norm"]
+    ).withColumn("mention_id", F.xxhash64("label", "text"))
+
+    uncapped = kg.lsh_candidate_pairs(mentions).count()
+    # cap=8: per-label occupancy is 6 <= 8, so nothing may be dropped even
+    # though the mixed-label bucket holds 12
+    capped = kg.lsh_candidate_pairs(mentions, max_bucket_size=8).count()
+    assert capped == uncapped
+    # cap=3 drops the oversized per-label groups entirely
+    assert kg.lsh_candidate_pairs(mentions, max_bucket_size=3).count() == 0

@@ -73,15 +73,18 @@ def main() -> None:
             "n_oracle": len(want),
         }
 
+    ent_pr = pr(spark_spans, oracle_spans)
+    grp_pr = pr(spark_groups, oracle_groups)
     report = {
         "metric": "entity_extraction_PR_vs_reference_semantics",
-        "entities": pr(spark_spans, oracle_spans),
-        "groups": pr(spark_groups, oracle_groups),
+        "entities": ent_pr,
+        "groups": grp_pr,
         "n_pages": n,
         "target": 0.95,
-        "pass": (
-            pr(spark_spans, oracle_spans)["precision"] >= 0.95
-            and pr(spark_spans, oracle_spans)["recall"] >= 0.95
+        "pass": all(
+            m[k] >= 0.95
+            for m in (ent_pr, grp_pr)
+            for k in ("precision", "recall")
         ),
     }
     print(json.dumps(report))
