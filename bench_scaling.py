@@ -102,10 +102,15 @@ def run_level(cores: int) -> dict:
     # measures steady-state throughput (what a long-running 100 TB job sees).
     noop(run_report(pages, config).entities)
 
-    # Job 1: NER pipeline (pages -> coalesced entities).
-    t0 = time.monotonic()
-    noop(run_report(pages, config).entities)
-    ner_secs = time.monotonic() - t0
+    # Job 1: NER pipeline (pages -> coalesced entities). Median of 3 timed
+    # passes: single-pass numbers on a shared VM swing ±30% run-to-run,
+    # which dwarfs the efficiency signal being measured.
+    samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        noop(run_report(pages, config).entities)
+        samples.append(time.monotonic() - t0)
+    ner_secs = sorted(samples)[1]
 
     # Job 2: full KG construction end-to-end (pages -> entities -> mentions
     # -> LSH blocking -> link scoring -> connected components ->
@@ -124,6 +129,7 @@ def run_level(cores: int) -> dict:
     return {
         "cores": cores,
         "seconds": round(ner_secs, 3),
+        "ner_samples": [round(s, 3) for s in samples],
         "docs_per_sec": round(n_docs / ner_secs, 1),
         "kg_seconds": round(kg_secs, 3),
         "kg_docs_per_sec": round(n_docs / kg_secs, 1),
