@@ -376,6 +376,40 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based sessionization: a >30 min gap starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(w).cast("long").alias("session_id"),
+    )
+
+
+def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation with grouping level (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "sum_price",
+            "n_rows",
+            "lvl",
+        )
+    )
+
+
 def _q_entity_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Q1 (internal/api/api.go:651-697): label-filtered entity page
     ordered by primary key with OFFSET/LIMIT."""
@@ -617,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_alias_candidates": _q_kg_alias_candidates,
         "q_jaccard_pairs": _q_jaccard_pairs,
         "q_entity_pagination": _q_entity_pagination,
+        "q_sessionize_events": _q_sessionize_events,
+        "q_rollup_sales": _q_rollup_sales,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_kg_triples": _q_kg_triples,
         "q_ivf_ann": _q_ivf_ann,
@@ -860,6 +896,29 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(a.t, b.t))
                          / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
             FROM toks a JOIN toks b ON a.id < b.id
+        """,
+        "q_sessionize_events": """
+            SELECT user_id, event_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS session_id
+            FROM (
+                SELECT user_id, event_id, ts,
+                       epoch(ts) - epoch(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS gap
+                FROM events
+            )
+        """,
+        "q_rollup_sales": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+                   coalesce(l_linestatus, 'ALL') AS lstatus,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n_rows,
+                   CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                        AS BIGINT) AS lvl
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_entity_pagination": _ENTS_CTE
         + """

@@ -27,6 +27,8 @@ TABLES = [
 
 
 def _norm(v):
+    if v is None:
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
