@@ -17,16 +17,19 @@ from pyspark.sql.window import Window
 
 SF001 = "/root/testdata/sf0.001"
 
-# Regex patterns used by the NER queries over `documents` — ASCII-only so
-# Java regex (Spark), RE2 (DuckDB) and Python re (pipeline) agree exactly.
-DOC_PATTERNS = {
-    "kw_spark": r"\bspark\b",
-    "kw_j": r"\bj\w+\b",
-    "kw_scan": r"\bscan\b",
-}
-
-GROUP_QUERY = 'COUNT(kw_spark) > 2 AND kw_j CONTAINS "oin"'
-SEARCH_QUERY = 'kw_scan CONTAINS "scan" AND (COUNT(kw_spark) > 0 OR kw_j = "join")'
+# Shared with the materialized pure-Python oracles — see flagship.py.
+from ner_backend_spark.flagship import (  # noqa: E402
+    ALIAS_DICT,
+    DOC_PATTERNS,
+    GROUP_QUERY,
+    IVF_ANN,
+    LSH_ANN,
+    MINHASH,
+    MULTIMODAL_DIM,
+    NEARDUP_LSH,
+    SEARCH_QUERY,
+    SIMHASH_MAX_HAMMING,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -40,20 +43,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full reference-semantics NER report over sf0.001 documents
     (regex tagger + custom tags + group queries -> coalesced entities)."""
-    from ner_backend_spark.spark.pipeline import run_report
-    from ner_backend_spark.spark.tagger import ReportConfig
-
-    docs = _t(spark, SF001, "documents").select(
-        F.col("doc_id").cast("string").alias("url"), "text"
-    )
-    config = ReportConfig.make(
-        model_type="regex",
-        model_params={"patterns": dict(DOC_PATTERNS)},
-        custom_tags={"mention_sort": r"\bsort\b"},
-        groups={"sparky": GROUP_QUERY},
-    )
-    out = run_report(docs, config)
-    return out.entities
+    return _pipeline_entities(spark, SF001)
 
 
 # ---------------------------------------------------------------------------
@@ -328,14 +318,6 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ALIAS_DICT = [
-    ("spark", "ENT_SPARK"),
-    ("join", "ENT_JOIN"),
-    ("scan", "ENT_SCAN"),
-    ("java", "ENT_JAVA"),
-]
-
-
 def _doc_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.native import regex_entities
 
@@ -412,11 +394,13 @@ def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_entity_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Q1 (internal/api/api.go:651-697): label-filtered entity page
-    ordered by primary key with OFFSET/LIMIT."""
-    ents = _doc_entities(spark, sf_dir)
+    ordered by the reference PK ``(object, start, end)`` (api.go:679-681)
+    with OFFSET/LIMIT — offsets come from the full pipeline entities."""
+    ents = _pipeline_entities(spark, sf_dir)
     return (
         ents.filter(F.col("label").isin("kw_spark", "kw_j"))
-        .orderBy("url", "label", "text")
+        .select("url", "label", "text", "start", "end")
+        .orderBy("url", "start", "end")
         .offset(50)
         .limit(100)
     )
@@ -426,11 +410,31 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.similarity import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_duplicates(emb, threshold=0.3, method="exact")
+    out = embedding_near_duplicates(
+        emb, threshold=NEARDUP_LSH["threshold"], method="exact"
+    )
     return out.select("id_a", "id_b")
 
 
 # -- non-SQL-expressible operators (driver records rows-only checks) --------
+
+
+def _ner_pipeline_config():
+    """The flagship report config — shared by entry(), q_ner_pipeline,
+    q_entity_pagination and the materialized python oracle so all four are
+    pinned to identical semantics (flagship.py)."""
+    from ner_backend_spark.flagship import ner_pipeline_config
+
+    return ner_pipeline_config()
+
+
+def _pipeline_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ner_backend_spark.spark.pipeline import run_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return run_report(docs, _ner_pipeline_config()).entities
 
 
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +450,9 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("group_name", F.lit("sparky"))
     )
     alias_df = spark.createDataFrame(ALIAS_DICT, "surface string, canonical_id string")
-    return build_triples(ents, groups, alias_df, threshold=0.5)
+    from ner_backend_spark.flagship import KG_THRESHOLD
+
+    return build_triples(ents, groups, alias_df, threshold=KG_THRESHOLD)
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +460,7 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    out = ivf_topk(emb, queries_df, dim=64, k=5, n_centroids=16, nprobe=4)
+    out = ivf_topk(emb, queries_df, **IVF_ANN)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
     )
@@ -463,27 +469,10 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_crf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CNN+CRF tagger path (tokenize -> emissions -> Viterbi -> word spans)
     batched in the same Arrow mapInPandas kernel as the other models."""
-    from ner_backend_spark.core.crf import IDX2TAG, O_INDEX
+    from ner_backend_spark.flagship import crf_config
     from ner_backend_spark.spark.pipeline import run_report
-    from ner_backend_spark.spark.tagger import ReportConfig
 
-    n = len(IDX2TAG)
-    # Deterministic CRF that penalizes transitions into O so the hash
-    # emissions produce a non-trivial tag sequence end-to-end.
-    transitions = [[0.0] * n for _ in range(n)]
-    for row in transitions:
-        row[O_INDEX] = -4.0
-    start = [0.0] * n
-    start[O_INDEX] = -4.0
-    config = ReportConfig.make(
-        model_type="cnn_crf",
-        model_params={
-            "transitions": transitions,
-            "start_probs": start,
-            "end_probs": [0.0] * n,
-        },
-        tags=set(IDX2TAG),
-    )
+    config = crf_config()
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
@@ -500,120 +489,92 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("url"),
         F.encode("text", "UTF-8").alias("media"),
     )
-    return extract_image_features(media, dim=16)
+    # feat_hash (md5 of the float32 feature bytes) stands in for the raw
+    # array column: deterministic, hashable for driver-side canonicalizers;
+    # the array path stays covered by pytest.
+    return extract_image_features(media, dim=MULTIMODAL_DIM).select(
+        "url", "n_bytes", "feat_hash"
+    )
 
 
 def _q_merged_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 ensemble merge (transformer_presidio/models.py:30-99): primary
     model wins overlap conflicts, same-label clusters union their spans."""
+    from ner_backend_spark.flagship import merged_config
     from ner_backend_spark.spark.pipeline import run_report
-    from ner_backend_spark.spark.tagger import ReportConfig
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
-    config = ReportConfig.make(
-        model_type="merged",
-        model_params={
-            "primary": {
-                "type": "regex",
-                "params": {"patterns": {"kw_spark": r"\bspark\b"}},
-            },
-            "secondary": {
-                "type": "regex",
-                "params": {"patterns": {"kw_s_word": r"\bs\w+\b"}},
-            },
-        },
-        tags={"kw_spark", "kw_s_word"},
-    )
-    return run_report(docs, config).entities
+    return run_report(docs, merged_config()).entities
 
 
 def _q_previews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preview builder (T7, processor.go:438-517): first-1000-token
     alternating O/label segments per document."""
+    from ner_backend_spark.flagship import previews_config
     from ner_backend_spark.spark.pipeline import run_report
-    from ner_backend_spark.spark.tagger import ReportConfig
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
-    config = ReportConfig.make(
-        model_type="regex",
-        model_params={"patterns": dict(DOC_PATTERNS)},
-        build_previews=True,
-    )
-    out = run_report(docs, config)
+    out = run_report(docs, previews_config())
     return out.previews.select(
-        "url", F.size("tokens").alias("n_tokens"), F.size("tags").alias("n_tags")
+        "url",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size("tags").cast("long").alias("n_tags"),
     )
 
 
 def _q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat-redaction semantics (T8, session.go:67-107) applied per document
     as a distributed kernel."""
+    from ner_backend_spark.flagship import redaction_config
     from ner_backend_spark.spark.redaction import redact_documents
-    from ner_backend_spark.spark.tagger import ReportConfig
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
-    config = ReportConfig.make(
-        model_type="regex", model_params={"patterns": dict(DOC_PATTERNS)}
-    )
-    return redact_documents(docs, config)
+    return redact_documents(docs, redaction_config())
 
 
 def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.similarity import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_duplicates(
-        emb, threshold=0.3, method="lsh", dim=64, n_planes=6, tables=8
-    )
+    out = embedding_near_duplicates(emb, method="lsh", **NEARDUP_LSH)
     return out.select("id_a", "id_b")
 
 
 def _q_ner_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference semantics (FilterEntities + coalesce + contexts)."""
-    from ner_backend_spark.spark.pipeline import run_report
-    from ner_backend_spark.spark.tagger import ReportConfig
-
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("url"), "text"
-    )
-    config = ReportConfig.make(
-        model_type="regex",
-        model_params={"patterns": dict(DOC_PATTERNS)},
-        custom_tags={"mention_sort": r"\bsort\b"},
-        groups={"sparky": GROUP_QUERY},
-    )
-    return run_report(docs, config).entities
+    return _pipeline_entities(spark, sf_dir)
 
 
 def _q_presidio_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Presidio tagger over the synthesized Common-Crawl-style pages table."""
     from ner_backend_spark import fixtures
+    from ner_backend_spark.flagship import presidio_config
     from ner_backend_spark.spark.pipeline import run_report
-    from ner_backend_spark.spark.tagger import ReportConfig
 
     pages = fixtures.pages_df(spark, n=200)
-    config = ReportConfig.make(model_type="presidio")
-    return run_report(pages.select("url", "text"), config).entities
+    return run_report(pages.select("url", "text"), presidio_config()).entities
 
 
 def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.dedup import near_duplicates_minhash
 
     docs = _t(spark, sf_dir, "documents")
-    return near_duplicates_minhash(docs, "doc_id", "text", threshold=0.5)
+    return near_duplicates_minhash(docs, "doc_id", "text", **MINHASH)
 
 
 def _q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
+    )
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,7 +582,9 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, dim=64, k=5, tables=4, n_planes=8)
+    return lsh_topk(emb, queries, **LSH_ANN).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -685,7 +648,53 @@ WITH ents AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    """SQL-expressible queries get inline DuckDB SQL; the rest get
+    ``read_parquet`` over pure-Python oracle tables materialized lazily by
+    ner_backend_spark/oracle (single-threaded reference-semantics
+    recomputation — the hard rows+schema+hash gate for the NER pipeline,
+    LSH/ANN and KG queries). The driver compares at sf0.01, so the
+    materialized tables are pinned to that SF."""
+    import os
+
+    from ner_backend_spark.oracle.materialize import ensure_oracles
+
+    # SPARK_GRAFT_ORACLE_SF lets tests pin the materialized oracles to the
+    # SF they run at (the driver compares at sf0.01, the default)
+    odir = ensure_oracles(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    )
+
+    def _mat(name: str) -> str:
+        return f"SELECT * FROM read_parquet('{odir}/{name}.parquet')"
+
+    materialized = {
+        name: _mat(name)
+        for name in (
+            "q_ner_pipeline",
+            "q_crf_pipeline",
+            "q_merged_model",
+            "q_presidio_pages",
+            "q_previews",
+            "q_redaction",
+            "q_multimodal_features",
+            "q_minhash_neardups",
+            "q_simhash_neardups",
+            "q_lsh_ann",
+            "q_ivf_ann",
+            "q_embedding_neardup_lsh",
+            "q_kg_triples",
+        )
+    }
+    # reference PK pagination (api.go:679-681) over the pipeline oracle —
+    # label filter first, then (url, start, end) ordering with OFFSET/LIMIT
+    materialized["q_entity_pagination"] = f"""
+        SELECT url, label, text, start, "end"
+        FROM read_parquet('{odir}/q_ner_pipeline.parquet')
+        WHERE label IN ('kw_spark', 'kw_j')
+        ORDER BY url, start, "end"
+        OFFSET 50 LIMIT 100
+    """
+    return materialized | {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -919,13 +928,6 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS lvl
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
-        "q_entity_pagination": _ENTS_CTE
-        + """
-            SELECT CAST(doc_id AS VARCHAR) AS url, label, text FROM ents
-            WHERE label IN ('kw_spark', 'kw_j')
-            ORDER BY url, label, text
-            OFFSET 50 LIMIT 100
         """,
         "q_embedding_neardup": """
             SELECT CAST(a.vec_id AS BIGINT) AS id_a,

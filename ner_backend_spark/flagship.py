@@ -1,0 +1,115 @@
+"""Flagship query configurations shared by the driver entry, the bench and
+the materialized pure-Python oracles (tools/gen_oracles.py).
+
+Keeping these in one module pins the Spark queries and their oracle
+counterparts to literally the same parameters — regex patterns, group DSL
+strings, model params, LSH/ANN tuning — so a drift in one side is a test
+failure, not a silent mismatch.
+"""
+
+from __future__ import annotations
+
+# Regex patterns used by the NER queries over `documents` — ASCII-only so
+# Java regex (Spark), RE2 (DuckDB) and Python re (oracle) agree exactly.
+DOC_PATTERNS = {
+    "kw_spark": r"\bspark\b",
+    "kw_j": r"\bj\w+\b",
+    "kw_scan": r"\bscan\b",
+}
+
+GROUP_QUERY = 'COUNT(kw_spark) > 2 AND kw_j CONTAINS "oin"'
+SEARCH_QUERY = 'kw_scan CONTAINS "scan" AND (COUNT(kw_spark) > 0 OR kw_j = "join")'
+
+ALIAS_DICT = [
+    ("spark", "ENT_SPARK"),
+    ("join", "ENT_JOIN"),
+    ("scan", "ENT_SCAN"),
+    ("java", "ENT_JAVA"),
+]
+
+# LSH/ANN tuning used by both the entry queries and the oracles.
+KG_THRESHOLD = 0.5
+MINHASH = dict(threshold=0.5, num_hashes=64, bands=16, shingle_k=3)
+SIMHASH_MAX_HAMMING = 8
+LSH_ANN = dict(dim=64, k=5, tables=4, n_planes=8)
+IVF_ANN = dict(dim=64, k=5, n_centroids=16, nprobe=4)
+NEARDUP_LSH = dict(threshold=0.3, dim=64, n_planes=6, tables=8)
+MULTIMODAL_DIM = 16
+
+
+def ner_pipeline_config():
+    """The flagship report config (regex model + custom tag + group query)."""
+    from .spark.tagger import ReportConfig
+
+    return ReportConfig.make(
+        model_type="regex",
+        model_params={"patterns": dict(DOC_PATTERNS)},
+        custom_tags={"mention_sort": r"\bsort\b"},
+        groups={"sparky": GROUP_QUERY},
+    )
+
+
+def crf_config():
+    """Deterministic CNN+CRF config penalizing transitions into O."""
+    from .core.crf import IDX2TAG, O_INDEX
+    from .spark.tagger import ReportConfig
+
+    n = len(IDX2TAG)
+    transitions = [[0.0] * n for _ in range(n)]
+    for row in transitions:
+        row[O_INDEX] = -4.0
+    start = [0.0] * n
+    start[O_INDEX] = -4.0
+    return ReportConfig.make(
+        model_type="cnn_crf",
+        model_params={
+            "transitions": transitions,
+            "start_probs": start,
+            "end_probs": [0.0] * n,
+        },
+        tags=set(IDX2TAG),
+    )
+
+
+def merged_config():
+    """P5 ensemble merge config (primary regex + secondary regex)."""
+    from .spark.tagger import ReportConfig
+
+    return ReportConfig.make(
+        model_type="merged",
+        model_params={
+            "primary": {
+                "type": "regex",
+                "params": {"patterns": {"kw_spark": r"\bspark\b"}},
+            },
+            "secondary": {
+                "type": "regex",
+                "params": {"patterns": {"kw_s_word": r"\bs\w+\b"}},
+            },
+        },
+        tags={"kw_spark", "kw_s_word"},
+    )
+
+
+def previews_config():
+    from .spark.tagger import ReportConfig
+
+    return ReportConfig.make(
+        model_type="regex",
+        model_params={"patterns": dict(DOC_PATTERNS)},
+        build_previews=True,
+    )
+
+
+def redaction_config():
+    from .spark.tagger import ReportConfig
+
+    return ReportConfig.make(
+        model_type="regex", model_params={"patterns": dict(DOC_PATTERNS)}
+    )
+
+
+def presidio_config():
+    from .spark.tagger import ReportConfig
+
+    return ReportConfig.make(model_type="presidio")

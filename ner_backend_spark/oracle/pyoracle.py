@@ -1,0 +1,513 @@
+"""Pure-Python (non-Spark) oracles for the driver queries that aren't
+expressible in ANSI SQL.
+
+Each function recomputes a query's expected output with plain Python over
+the parquet inputs — single-threaded, no Spark — so the driver's
+rows+schema+hash comparison verifies that the *distributed* plan (Arrow
+batching, shuffles, LSH bucket joins, connected components) reproduces the
+single-node reference semantics exactly. The per-document NER semantics come
+from ner_backend_spark.core (the same module the Spark kernels call, itself
+pinned by golden tests against the reference:
+internal/core/processor_test.go:48-114, presidio_test.go:21-54); the
+LSH/banding/mention-id arithmetic is recomputed here against the pure-Python
+Spark-hash replicas (core/spark_hash.py), which are pinned bit-exactly vs
+Spark in tests/test_spark_hash.py.
+
+Float-bearing comparisons (ANN cosine ranks) replicate Spark's exact fold
+order — ``aggregate(zip_with(a, b, *), 0.0, +)`` is a left fold — so IEEE
+double results are bit-identical, making rank orderings deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+from types import SimpleNamespace
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .. import flagship
+from ..core.inference import run_inference_on_object
+from ..core.query import parse_query
+from ..core.spark_hash import (
+    spark_hash,
+    spark_hash_int_array,
+    spark_hash_long_array,
+    spark_xxhash64,
+)
+from ..spark.dedup import (
+    _HASH_RANGE,
+    _MERSENNE,
+    _minhash_params,
+    _word_shingles,
+    simhash_chunk_bounds,
+)
+from ..spark.multimodal import _fake_features
+from ..spark.similarity import _centroids, _hyperplanes
+from ..spark.tagger import _compiled_state
+
+# ---------------------------------------------------------------------------
+# inputs
+
+
+def load_documents(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def load_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # list<float32> -> python floats: the exact value Spark gets from
+    # cast(embedding as array<double>)
+    return list(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+
+
+# ---------------------------------------------------------------------------
+# NER pipeline family (shares the per-document kernel code with Spark)
+
+
+def _run_config(docs: list[tuple[str, str]], config):
+    """Yield (url, InferenceResult) exactly as tagger._run_batch does."""
+    model, tags, custom, group_filters = _compiled_state(config)
+    for url, text in docs:
+        yield url, run_inference_on_object(
+            text if text is not None else "",
+            model,
+            tags,
+            custom,
+            group_filters,
+            build_previews=config.build_previews,
+        )
+
+
+def _doc_urls_texts(sf_dir: str) -> list[tuple[str, str]]:
+    return [(str(i), t) for i, t in load_documents(sf_dir)]
+
+
+def oracle_entities(sf_dir: str, config) -> list[tuple]:
+    """(url, label, text, start, end, l_context, r_context) rows."""
+    rows = []
+    for url, res in _run_config(_doc_urls_texts(sf_dir), config):
+        for e in res.entities:
+            rows.append((url, e.label, e.text, e.start, e.end, e.l_context, e.r_context))
+    return rows
+
+
+def oracle_ner_pipeline(sf_dir: str) -> list[tuple]:
+    return oracle_entities(sf_dir, flagship.ner_pipeline_config())
+
+
+def oracle_crf_pipeline(sf_dir: str) -> list[tuple]:
+    return oracle_entities(sf_dir, flagship.crf_config())
+
+
+def oracle_merged_model(sf_dir: str) -> list[tuple]:
+    return oracle_entities(sf_dir, flagship.merged_config())
+
+
+def oracle_presidio_pages(sf_dir: str) -> list[tuple]:
+    from .. import fixtures
+
+    pages = [(r[0], r[3]) for r in fixtures.generate_rows(n=200)]
+    rows = []
+    for url, res in _run_config(pages, flagship.presidio_config()):
+        for e in res.entities:
+            rows.append((url, e.label, e.text, e.start, e.end, e.l_context, e.r_context))
+    return rows
+
+
+def oracle_previews(sf_dir: str) -> list[tuple]:
+    """(url, n_tokens, n_tags)."""
+    rows = []
+    for url, res in _run_config(_doc_urls_texts(sf_dir), flagship.previews_config()):
+        rows.append((url, len(res.preview_tokens), len(res.preview_tags)))
+    return rows
+
+
+def oracle_redaction(sf_dir: str) -> list[tuple]:
+    """(url, redacted, n_redactions) — mirrors spark/redaction.py's kernel."""
+    from ..core.postprocess import filter_entities
+    from ..core.redact import TagMetadata, redact_spans
+
+    config = flagship.redaction_config()
+    model, _tags, _custom, _groups = _compiled_state(config)
+    rows = []
+    for url, text in _doc_urls_texts(sf_dir):
+        tb = (text or "").encode("utf-8")
+        ents = filter_entities(tb, model.predict(tb))
+        redacted, meta = redact_spans(tb, ents, TagMetadata())
+        rows.append((url, redacted, len(meta.tag_map)))
+    return rows
+
+
+def oracle_multimodal(sf_dir: str) -> list[tuple]:
+    """(url, n_bytes, feat_hash) — mirrors the extract_image_features stub."""
+    rows = []
+    for url, text in _doc_urls_texts(sf_dir):
+        data = (text or "").encode("utf-8")
+        vec = _fake_features(data, flagship.MULTIMODAL_DIM)
+        rows.append(
+            (
+                url,
+                len(data),
+                hashlib.md5(vec.astype(np.float32).tobytes()).hexdigest(),
+            )
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash near-dup
+
+
+def oracle_minhash_neardups(sf_dir: str) -> list[tuple]:
+    """(id_a, id_b, est_jaccard) — replicates near_duplicates_minhash."""
+    p = flagship.MINHASH
+    num_hashes, bands = p["num_hashes"], p["bands"]
+    rows_per_band = num_hashes // bands
+    a, b = _minhash_params(num_hashes)
+
+    sigs: dict[int, np.ndarray] = {}
+    for doc_id, text in load_documents(sf_dir):
+        h = _word_shingles(text or "", p["shingle_k"])
+        vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+        sigs[int(doc_id)] = (vals.min(axis=1) % _HASH_RANGE).astype(np.int64)
+
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        for band in range(bands):
+            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            buckets[(band, spark_hash_long_array(chunk.tolist()))].append(doc_id)
+
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+
+    out = []
+    for id_a, id_b in sorted(pairs):
+        est = int((sigs[id_a] == sigs[id_b]).sum()) / num_hashes
+        if est >= p["threshold"]:
+            out.append((id_a, id_b, est))
+    return out
+
+
+def simhash64(text: str) -> int:
+    """Per-document 64-bit simhash, matching the vectorized kernel in
+    spark/dedup.py (bit k of the big-endian blake2b digest int)."""
+    acc = [0] * 64
+    for w in (text or "").split():
+        val = int.from_bytes(
+            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        for k in range(64):
+            acc[k] += 1 if (val >> k) & 1 else -1
+    sim = 0
+    for k in range(64):
+        if acc[k] > 0:
+            sim |= 1 << k
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
+def oracle_simhash_neardups(sf_dir: str) -> list[tuple]:
+    """(id_a, id_b, hamming) — replicates simhash_near_duplicates."""
+    max_hamming = flagship.SIMHASH_MAX_HAMMING
+    bounds = simhash_chunk_bounds(max_hamming)
+    sigs = {
+        int(doc_id): simhash64(text) for doc_id, text in load_documents(sf_dir)
+    }
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, sim in sigs.items():
+        u = sim & ((1 << 64) - 1)
+        for idx, (off, width) in enumerate(bounds):
+            buckets[(idx, (u >> off) & ((1 << width) - 1))].append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for id_a, id_b in sorted(pairs):
+        ham = bin((sigs[id_a] ^ sigs[id_b]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            out.append((id_a, id_b, ham))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ANN / embedding near-dup (exact fold-order replication of spark/similarity)
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _fold_sq(a: list[float]) -> float:
+    acc = 0.0
+    for v in a:
+        acc = acc + v * v
+    return acc
+
+
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    return _fold_dot(a, b) / (math.sqrt(_fold_sq(a)) * math.sqrt(_fold_sq(b)))
+
+
+def _bucket_ids_py(
+    vecs: dict[int, list[float]], dim: int, n_planes: int, tables: int, seed: int = 42
+) -> dict[tuple[int, int], list[int]]:
+    """(table, bucket) -> member ids, replicating lsh_bucket_ids."""
+    plane_lists = [
+        [[float(v) for v in row] for row in _hyperplanes(dim, n_planes, seed + t)]
+        for t in range(tables)
+    ]
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for vid, vec in vecs.items():
+        for t in range(tables):
+            bucket = 0
+            for j in range(n_planes):
+                if _fold_dot(vec, plane_lists[t][j]) >= 0:
+                    bucket += 1 << j
+            buckets[(t, bucket)].append(vid)
+    return buckets
+
+
+def _topk_py(
+    cand: dict[int, set[int]], vecs: dict[int, list[float]], k: int
+) -> list[tuple]:
+    """(query_id, neighbor_id, rnk): row_number over (cosine desc, id asc)."""
+    out = []
+    for qid in sorted(cand):
+        scored = [
+            (_cosine_py(vecs[qid], vecs[nid]), nid) for nid in cand[qid]
+        ]
+        scored.sort(key=lambda sn: (-sn[0], sn[1]))
+        for rank, (_, nid) in enumerate(scored[:k], start=1):
+            out.append((qid, nid, rank))
+    return out
+
+
+def oracle_lsh_ann(sf_dir: str) -> list[tuple]:
+    p = flagship.LSH_ANN
+    vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
+    queries = {i for i in vecs if i < 10}
+    buckets = _bucket_ids_py(vecs, p["dim"], p["n_planes"], p["tables"])
+    cand: dict[int, set[int]] = defaultdict(set)
+    for members in buckets.values():
+        qs = [m for m in members if m in queries]
+        for q in qs:
+            for m in members:
+                if m != q:
+                    cand[q].add(m)
+    return _topk_py(cand, vecs, p["k"])
+
+
+def oracle_ivf_ann(sf_dir: str) -> list[tuple]:
+    p = flagship.IVF_ANN
+    cents = [
+        [float(v) for v in row] for row in _centroids(p["dim"], p["n_centroids"], 42)
+    ]
+    vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
+
+    def scores(vec):
+        return [(_fold_dot(vec, cents[cid]), cid) for cid in range(len(cents))]
+
+    # array_max over (score, cid) structs == max tuple
+    assigned: dict[int, int] = {
+        vid: max(scores(vec))[1] for vid, vec in vecs.items()
+    }
+    by_centroid: dict[int, list[int]] = defaultdict(list)
+    for vid, cid in assigned.items():
+        by_centroid[cid].append(vid)
+
+    cand: dict[int, set[int]] = defaultdict(set)
+    for qid in (i for i in vecs if i < 10):
+        # sort_array(desc) on (score, cid) structs == sorted desc by tuple
+        probes = [
+            cid for _, cid in sorted(scores(vecs[qid]), reverse=True)[: p["nprobe"]]
+        ]
+        for cid in probes:
+            for nid in by_centroid.get(cid, ()):
+                if nid != qid:
+                    cand[qid].add(nid)
+    return _topk_py(cand, vecs, p["k"])
+
+
+def oracle_embedding_neardup_lsh(sf_dir: str) -> list[tuple]:
+    p = flagship.NEARDUP_LSH
+    vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
+    buckets = _bucket_ids_py(vecs, p["dim"], p["n_planes"], p["tables"])
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    return [
+        (a, b)
+        for a, b in sorted(pairs)
+        if _cosine_py(vecs[a], vecs[b]) >= p["threshold"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Knowledge graph (mentions -> LSH blocking -> Jaccard links -> CC -> triples)
+
+_KG_NUM_HASHES = 15
+_KG_BANDS = 5
+
+
+def _native_entities(sf_dir: str) -> list[tuple[str, str, str]]:
+    """(url, label, text) — the JVM regexp_extract_all scan, via python re
+    (ASCII flag pins \\b and \\w to the Java-regex byte semantics)."""
+    patterns = {
+        label: re.compile(p, re.ASCII)
+        for label, p in sorted(flagship.DOC_PATTERNS.items())
+    }
+    rows = []
+    for doc_id, text in load_documents(sf_dir):
+        for label, pat in patterns.items():
+            for m in pat.finditer(text or ""):
+                rows.append((str(doc_id), label, m.group(0)))
+    return rows
+
+
+def _norm_surface(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+def _trigrams_py(norm: str) -> list[str]:
+    padded = "^" + norm + "$"
+    n = max(len(padded) - 2, 1)
+    seen, out = set(), []
+    for i in range(1, n + 1):
+        t = padded[i - 1 : i + 2]
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def oracle_kg_triples(sf_dir: str) -> list[tuple]:
+    """(subj, pred, obj) — replicates spark/kg.py build_triples end-to-end
+    (LSH banding via the Spark-hash replicas; exact trigram Jaccard; CC with
+    min-id representatives; alias-dictionary canonicalization)."""
+    ents = _native_entities(sf_dir)
+
+    # mentions: distinct (label, text); id = xxhash64(label, text)
+    mentions: dict[int, tuple[str, str, str]] = {}
+    for _, label, text in ents:
+        mid = spark_xxhash64(label, text)
+        mentions.setdefault(mid, (label, text, _norm_surface(text)))
+
+    tri = {mid: _trigrams_py(norm) for mid, (_, _, norm) in mentions.items()}
+
+    # MinHash signature: sig[i] = min over trigrams of hash(t, i)
+    rows_per_band = _KG_NUM_HASHES // _KG_BANDS
+    sig = {
+        mid: [
+            min(spark_hash(t, ("int", i)) for t in tris)
+            for i in range(_KG_NUM_HASHES)
+        ]
+        for mid, tris in tri.items()
+    }
+
+    # band buckets keyed (band, band_hash, label) — same_label_only=True
+    buckets: dict[tuple[int, int, str], list[int]] = defaultdict(list)
+    for mid, s in sig.items():
+        label = mentions[mid][0]
+        for b in range(_KG_BANDS):
+            bh = spark_hash_int_array(s[b * rows_per_band : (b + 1) * rows_per_band])
+            buckets[(b, bh, label)].append(mid)
+
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+
+    # exact trigram Jaccard on candidates
+    uf = _UnionFind()
+    for a, b in cand:
+        ta, tb = set(tri[a]), set(tri[b])
+        score = len(ta & tb) / len(ta | tb)
+        if score >= flagship.KG_THRESHOLD:
+            uf.union(a, b)
+
+    # alias dictionary: exact-norm hits + virtual per-entry nodes
+    alias_norm = {
+        _norm_surface(surface): cid for surface, cid in flagship.ALIAS_DICT
+    }
+    hits: dict[int, str] = {}
+    for mid, (_, _, norm) in mentions.items():
+        cid = alias_norm.get(norm)
+        if cid is not None:
+            hits[mid] = cid
+            uf.union(mid, spark_xxhash64("alias:" + cid))
+
+    comp = {mid: uf.find(mid) for mid in mentions}
+
+    # canonical per component: min alias canonical_id if any, else min
+    # (norm, text) member surface
+    comp_alias: dict[int, str] = {}
+    for mid, cid in hits.items():
+        c = comp[mid]
+        if c not in comp_alias or cid < comp_alias[c]:
+            comp_alias[c] = cid
+    comp_rep: dict[int, tuple[str, str]] = {}
+    for mid, (_, text, norm) in mentions.items():
+        c = comp[mid]
+        key = (norm, text)
+        if c not in comp_rep or key < comp_rep[c]:
+            comp_rep[c] = key
+    canonical = {
+        mid: comp_alias.get(comp[mid], comp_rep[comp[mid]][1]) for mid in mentions
+    }
+
+    triples: set[tuple[str, str, str]] = set()
+    for url, label, text in ents:
+        mid = spark_xxhash64(label, text)
+        triples.add((url, "HAS_" + label, canonical[mid]))
+
+    # group membership (matching_urls over the native entities)
+    tree = parse_query(flagship.GROUP_QUERY)
+    by_url: dict[str, dict[str, list]] = defaultdict(lambda: defaultdict(list))
+    for url, label, text in ents:
+        by_url[url][label].append(SimpleNamespace(text=text))
+    for url, label_map in by_url.items():
+        if tree.matches(label_map):
+            triples.add((url, "IN_GROUP", "sparky"))
+
+    return sorted(triples)

@@ -39,6 +39,17 @@ def ensure_parallelism(df, min_partitions: int | None = None):
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # Cheap screen before the plan->RDD probe (the probe costs a driver-side
+    # physical-plan conversion per call and defeats AQE stat reuse): with
+    # filesMaxPartitionBytes=128MB and openCostInBytes=4MB a scan partition
+    # bin-packs at most 32 files, so >= 32*target input files guarantees the
+    # scan already fans out past `target` — skip the probe entirely. This is
+    # the 100 TB fast path; tiny inputs fall through to the exact check.
+    try:
+        if len(df.inputFiles()) >= 32 * target:
+            return df
+    except Exception:
+        pass  # plans without a file source (createDataFrame, range)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -4,6 +4,7 @@ Runs at sf0.001 for speed (the driver uses sf0.01)."""
 
 import datetime as dt
 import math
+import os
 
 import duckdb
 import pytest
@@ -11,6 +12,8 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
+# materialized python-oracle tables must match the SF this test runs at
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -1,0 +1,48 @@
+"""Regenerate the materialized pure-Python oracle tables.
+
+Usage: python tools/gen_oracles.py [sf_dir] [--force] [query ...]
+
+Defaults to /root/testdata/sf0.01 (the driver's comparison SF). With no
+query names, regenerates every table in materialize.TABLES.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ner_backend_spark.oracle import materialize  # noqa: E402
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = [a for a in args if not os.path.isdir(a)] or None
+
+    out_dir = materialize.default_oracle_dir(sf_dir)
+    if force and only is None and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
+    t0 = time.monotonic()
+    if only:
+        os.makedirs(out_dir, exist_ok=True)
+        materialize.generate(sf_dir, out_dir, only=only)
+        # partial regeneration invalidates the stamp: drop it so
+        # ensure_oracles rebuilds the full set next time
+        stamp = os.path.join(out_dir, "_VERSION")
+        if os.path.exists(stamp):
+            os.remove(stamp)
+    else:
+        materialize.ensure_oracles(sf_dir, out_dir)
+    print(f"oracles -> {out_dir} [{time.monotonic() - t0:.1f}s]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
