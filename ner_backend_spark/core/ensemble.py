@@ -72,8 +72,15 @@ def merge_predictions(
 
 
 def majority_vote(text: bytes, model_tags: list[list[str]]) -> list[Entity]:
-    """Per-whitespace-token majority vote across models' tag sequences."""
-    tokens = text.split()
+    """Per-whitespace-token majority vote across models' tag sequences.
+
+    Tokenization is UNICODE whitespace (the reference's Python ``str.split``,
+    ensemble.py:44), not ``bytes.split`` (ASCII-only) — e.g. U+00A0 breaks
+    tokens under reference semantics, so the token count must match the tag
+    sequences the models produced under that tokenization. Offsets stay
+    byte-based: each unicode token is re-encoded and located by forward scan.
+    """
+    tokens = [t.encode("utf-8") for t in text.decode("utf-8").split()]
     for i, tags in enumerate(model_tags):
         if len(tags) != len(tokens):
             raise ValueError(

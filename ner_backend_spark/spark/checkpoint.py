@@ -56,6 +56,31 @@ CHECKPOINT_SCHEMA = StructType(
 )
 
 STATUS_COMPLETED = "COMPLETED"
+STATUS_FAILED = "FAILED"
+
+STOP_FLAG = "_STOP"
+
+
+def request_stop(base_path: str) -> None:
+    """Reference Q4 soft-stop (internal/api/api.go:553-624 StopReport): set
+    a stop flag the worker consults between task commits
+    (processor.go:187-190, 699-702). Here the flag is a marker file next to
+    the checkpoint table; on a shared filesystem/object store every driver
+    retry sees it."""
+    os.makedirs(base_path, exist_ok=True)
+    with open(os.path.join(base_path, STOP_FLAG), "w") as f:
+        f.write("stop")
+
+
+def clear_stop(base_path: str) -> None:
+    try:
+        os.remove(os.path.join(base_path, STOP_FLAG))
+    except FileNotFoundError:
+        pass
+
+
+def stop_requested(base_path: str) -> bool:
+    return os.path.exists(os.path.join(base_path, STOP_FLAG))
 
 
 def with_partition_id(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -98,7 +123,13 @@ class CheckpointedReportRunner:
       3. writes entities under partition_id=... (idempotent overwrite),
       4. appends COMPLETED checkpoint rows with counters + lineage.
 
-    ``fail_after_commits`` injects a crash for the kill/resume tests.
+    Failure semantics mirror the reference's task table
+    (processor.go:140-153, database/utils.go:28-52): a bucket group whose
+    processing raises gets FAILED checkpoint rows (error recorded in the
+    lineage column) and the run continues; FAILED buckets are retried on the
+    next run. A ``_STOP`` marker file (request_stop) aborts cleanly between
+    commits. ``fail_after_commits`` injects a full crash for kill/resume
+    tests; ``fail_buckets`` injects per-bucket failures.
     """
 
     def __init__(
@@ -108,12 +139,16 @@ class CheckpointedReportRunner:
         base_path: str,
         n_buckets: int = 16,
         buckets_per_commit: int = 4,
+        fail_buckets: set[int] | None = None,
     ):
         self.spark = spark
         self.config = config
         self.base_path = base_path
         self.n_buckets = n_buckets
         self.buckets_per_commit = buckets_per_commit
+        # failure injection for the FAILED-status tests: any commit group
+        # containing one of these buckets raises before writing
+        self.fail_buckets = fail_buckets or set()
 
     def run(
         self, pages: DataFrame, fail_after_commits: int | None = None
@@ -133,68 +168,44 @@ class CheckpointedReportRunner:
         pages_p = with_partition_id(pages, self.n_buckets)
 
         commits = 0
+        processed: list[int] = []
+        failed: list[int] = []
+        stopped = False
         for i in range(0, len(todo), self.buckets_per_commit):
+            if stop_requested(self.base_path):
+                # clean abort between commits: everything committed so far
+                # stays COMPLETED; remaining buckets are simply not
+                # attempted and a later run (after clear_stop) resumes them
+                stopped = True
+                break
             group = todo[i : i + self.buckets_per_commit]
             t0 = time.time()
-            subset = pages_p.filter(F.col("partition_id").isin(group))
-            out = run_report(subset.select("url", "text"), self.config)
-
-            # one pass over the group: cache report_rows for the three sinks
-            rows = out.report_rows.withColumn(
-                "partition_id", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets))
-            ).persist()
-
-            entities = rows.select(
-                "url", "partition_id", F.explode("entities").alias("e")
-            ).select("url", "partition_id", "e.*")
-            (
-                entities.write.mode("overwrite")
-                .partitionBy("partition_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(f"{self.base_path}/entities")
-            )
-            groups_df = rows.select(
-                "url", "partition_id", F.explode("groups").alias("group_name")
-            )
-            (
-                groups_df.write.mode("overwrite")
-                .partitionBy("partition_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(f"{self.base_path}/object_groups")
-            )
-
-            stats = (
-                rows.groupBy("partition_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.size("entities")).alias("n_entities"),
-                    F.sum("total_tokens").alias("n_tokens"),
-                )
-                .collect()
-            )
-            rows.unpersist()
-            by_pid = {r["partition_id"]: r for r in stats}
-            t1 = time.time()
-
-            ckpt_rows = [
-                (
-                    int(p),
-                    STATUS_COMPLETED,
-                    run_id,
-                    float(t0),
-                    float(t1),
-                    int(by_pid[p]["n_docs"]) if p in by_pid else 0,
-                    int(by_pid[p]["n_entities"]) if p in by_pid else 0,
-                    int(by_pid[p]["n_tokens"]) if p in by_pid else 0,
-                    lineage,
-                )
-                for p in group
-            ]
-            self.spark.createDataFrame(
-                ckpt_rows, CHECKPOINT_SCHEMA
-            ).write.mode("append").parquet(f"{self.base_path}/checkpoints")
+            try:
+                self._run_group(pages_p, group, run_id, t0, lineage)
+            except Exception as exc:  # noqa: BLE001 - bucket-level isolation
+                if fail_after_commits is not None:
+                    raise  # injected crash: simulate a killed job, not a
+                    # recoverable per-bucket failure
+                # reference semantics: a failed task gets a FAILED status row
+                # and its own counters slot (processor.go:140-153,
+                # database/utils.go:28-52); the job continues with the next
+                # shard and a resume retries FAILED buckets (they are not in
+                # the COMPLETED set)
+                failed.extend(group)
+                t1 = time.time()
+                err = f"{type(exc).__name__}: {exc}"[:500]
+                rows = [
+                    (int(p), STATUS_FAILED, run_id, float(t0), float(t1),
+                     0, 0, 0, json.dumps({"error": err, "run_id": run_id}))
+                    for p in group
+                ]
+                self.spark.createDataFrame(
+                    rows, CHECKPOINT_SCHEMA
+                ).write.mode("append").parquet(f"{self.base_path}/checkpoints")
+                continue
 
             commits += 1
+            processed.extend(group)
             if fail_after_commits is not None and commits >= fail_after_commits:
                 raise RuntimeError(
                     f"injected failure after {commits} commits (run {run_id})"
@@ -202,7 +213,79 @@ class CheckpointedReportRunner:
 
         # exact, idempotent aggregates recomputed from materialized entities
         self._finalize()
-        return {"run_id": run_id, "processed_buckets": len(todo)}
+        return {
+            "run_id": run_id,
+            "processed_buckets": len(processed),
+            "failed_buckets": failed,
+            "skipped_buckets": sorted(done),
+            "stopped": stopped,
+        }
+
+    def _run_group(
+        self, pages_p: DataFrame, group: list[int], run_id: str,
+        t0: float, lineage: str,
+    ) -> None:
+        subset = pages_p.filter(F.col("partition_id").isin(group))
+        if self.fail_buckets and set(group) & self.fail_buckets:
+            raise RuntimeError(
+                f"poisoned bucket(s) {sorted(set(group) & self.fail_buckets)}"
+            )
+        out = run_report(subset.select("url", "text"), self.config)
+
+        # one pass over the group: cache report_rows for the three sinks
+        rows = out.report_rows.withColumn(
+            "partition_id", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets))
+        ).persist()
+
+        entities = rows.select(
+            "url", "partition_id", F.explode("entities").alias("e")
+        ).select("url", "partition_id", "e.*")
+        (
+            entities.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{self.base_path}/entities")
+        )
+        groups_df = rows.select(
+            "url", "partition_id", F.explode("groups").alias("group_name")
+        )
+        (
+            groups_df.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{self.base_path}/object_groups")
+        )
+
+        stats = (
+            rows.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("entities")).alias("n_entities"),
+                F.sum("total_tokens").alias("n_tokens"),
+            )
+            .collect()
+        )
+        rows.unpersist()
+        by_pid = {r["partition_id"]: r for r in stats}
+        t1 = time.time()
+
+        ckpt_rows = [
+            (
+                int(p),
+                STATUS_COMPLETED,
+                run_id,
+                float(t0),
+                float(t1),
+                int(by_pid[p]["n_docs"]) if p in by_pid else 0,
+                int(by_pid[p]["n_entities"]) if p in by_pid else 0,
+                int(by_pid[p]["n_tokens"]) if p in by_pid else 0,
+                lineage,
+            )
+            for p in group
+        ]
+        self.spark.createDataFrame(
+            ckpt_rows, CHECKPOINT_SCHEMA
+        ).write.mode("append").parquet(f"{self.base_path}/checkpoints")
 
     def _finalize(self) -> None:
         ents_path = f"{self.base_path}/entities"
@@ -243,6 +326,21 @@ def throughput_metrics(spark: SparkSession, base_path: str) -> dict:
         F.sum("n_tokens").alias("tokens"),
     ).collect()[0]
     wall = max(row["t1"] - row["t0"], 1e-9)
+
+    # succeeded/failed bucket counters (processor.go:140-153): FAILED counts
+    # only while no later attempt COMPLETED the bucket
+    status_rows = (
+        read_checkpoints(spark, base_path)
+        .groupBy("partition_id")
+        .agg(F.collect_set("status").alias("statuses"))
+        .collect()
+    )
+    succeeded = sum(1 for r in status_rows if STATUS_COMPLETED in r["statuses"])
+    still_failed = sum(
+        1
+        for r in status_rows
+        if STATUS_FAILED in r["statuses"] and STATUS_COMPLETED not in r["statuses"]
+    )
     return {
         "wall_seconds": wall,
         "n_docs": row["docs"],
@@ -250,4 +348,6 @@ def throughput_metrics(spark: SparkSession, base_path: str) -> dict:
         "n_tokens": row["tokens"],
         "docs_per_sec": row["docs"] / wall,
         "tokens_per_sec": row["tokens"] / wall,
+        "n_succeeded_buckets": succeeded,
+        "n_failed_buckets": still_failed,
     }

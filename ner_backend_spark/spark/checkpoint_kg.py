@@ -129,6 +129,28 @@ class CheckpointedKgRunner:
             "max_bucket_size": self.max_bucket_size,
         }
 
+    @staticmethod
+    def _input_fingerprint(entities: DataFrame) -> str:
+        """Order-invariant dataset fingerprint: row count + modular sum of
+        row hashes. Recorded in the lineage so a resume with a DIFFERENT
+        entities table is refused instead of silently joining new entities
+        against stale on-disk mentions/components (the 'silent hybrid'
+        hazard for callers that don't read entities back from the
+        checkpointed table)."""
+        row = entities.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.pmod(
+                        F.xxhash64("url", "label", "text"),
+                        F.lit(1_000_000_007),
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return f"{row['n']}:{row['h']}"
+
     def run(
         self,
         entities: DataFrame,
@@ -139,9 +161,10 @@ class CheckpointedKgRunner:
         prior = _read_checkpoint_rows(self.spark, self.base_path)
         done = {r["stage"] for r in prior}
         # Resume safety: refuse to graft new-parameter stages onto outputs
-        # computed under different parameters — that would be a silent
-        # cross-parameter hybrid presented as a clean run.
+        # computed under different parameters OR a different input dataset —
+        # either would be a silent cross-run hybrid presented as a clean run.
         params = self._lineage_params()
+        params["input_fp"] = self._input_fingerprint(entities)
         for r in prior:
             recorded = {
                 k: v

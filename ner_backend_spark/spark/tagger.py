@@ -153,22 +153,36 @@ def _run_batch(pdf: pd.DataFrame, config: ReportConfig) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def tag_documents(pages: DataFrame, config: ReportConfig) -> DataFrame:
+def tag_documents(
+    pages: DataFrame,
+    config: ReportConfig,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """pages(url, text, ...) -> one row per document (REPORT_ROW_SCHEMA).
 
     Only (url, text) are read — column pruning keeps the binary ``html``
-    column out of the scan entirely.
+    column out of the scan entirely. ``passthrough`` names extra input
+    columns to carry through the kernel unchanged (e.g. the ``warc_ts``
+    event time for windowed streaming aggregates): the batch loop preserves
+    row order, so they are copied positionally.
     """
+    fields = list(REPORT_ROW_SCHEMA.fields)
+    for c in passthrough:
+        fields.append(pages.schema[c])
+    schema = StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _run_batch(pdf, config)
+                out = _run_batch(pdf, config)
+                for c in passthrough:
+                    out[c] = pdf[c].values
+                yield out
 
     from .session import ensure_parallelism
 
-    narrow = ensure_parallelism(pages.select("url", "text"))
-    return narrow.mapInPandas(run, REPORT_ROW_SCHEMA)
+    narrow = ensure_parallelism(pages.select("url", "text", *passthrough))
+    return narrow.mapInPandas(run, schema)
 
 
 def explode_entities(report_rows: DataFrame) -> DataFrame:

@@ -74,23 +74,37 @@ def stream_label_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     queryName: str = "label_counts",
+    output_mode: str = "append",
 ) -> StreamingQuery:
-    """Windowed per-label counts with late-data handling (watermark on
-    warc_ts) — the streaming form of report_tags (A2)."""
-    rows = tag_documents(
-        pages_stream.withWatermark("warc_ts", watermark).select(
-            "url", "text", "warc_ts"
-        ).select("url", "text"),
-        config,
+    """Windowed per-label counts with late-data handling — the streaming
+    form of report_tags (A2) over event time.
+
+    The event time ``warc_ts`` rides through the tagger kernel as a
+    passthrough column, the watermark is applied to the *tagged* stream, and
+    the aggregate is a real tumbling ``window(warc_ts, ...)`` group — rows
+    older than the watermark are dropped by the stateful aggregation
+    (late-data pytest: tests/test_streaming_multimodal_redact.py). In the
+    default ``append`` mode a window's counts emit once, when the watermark
+    passes its end.
+    """
+    rows = tag_documents(pages_stream, config, passthrough=("warc_ts",))
+    ents = rows.select("warc_ts", F.explode("entities").alias("e")).select(
+        "warc_ts", F.col("e.label").alias("label")
     )
-    # re-join the event time: tag_documents prunes to (url, text), so carry
-    # the timestamp through a broadcast-free key join on url
-    ents = explode_entities(rows)
-    counts = ents.groupBy("label").count()
+    counts = (
+        ents.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "label")
+        .count()
+        .select(
+            F.col("win.start").alias("win_start"),
+            "label",
+            F.col("count").alias("n"),
+        )
+    )
     return (
         counts.writeStream.format("memory")
         .queryName(queryName)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

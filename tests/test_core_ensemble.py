@@ -89,6 +89,18 @@ def test_majority_vote_length_mismatch_raises():
         majority_vote(b"a b", [["O"]])
 
 
+def test_majority_vote_unicode_whitespace_tokens():
+    # U+00A0 (no-break space) splits under the reference's str.split but not
+    # under bytes.split — the vote must use unicode tokenization with
+    # byte-accurate offsets (ADVICE r1)
+    text = "alice bob".encode("utf-8")
+    got = majority_vote(text, [["NAME", "CITY"]])
+    assert [(e.label, e.text, e.start, e.end) for e in got] == [
+        ("NAME", "alice", 0, 5),
+        ("CITY", "bob", 7, 10),  # U+00A0 is 2 bytes
+    ]
+
+
 def test_merged_model_registry_end_to_end():
     model = load_model(
         "merged",

@@ -40,9 +40,16 @@ def _norm(v):
     return v
 
 
+def _sort_key(t):
+    # NULL-safe, type-heterogeneous ordering (see tools/check_parity.py)
+    return tuple((v is None, str(v)) for v in t)
+
+
 def _rows_to_multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key
+    )
 
 
 ORACLES = entry_mod.oracle_sql()

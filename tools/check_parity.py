@@ -27,8 +27,6 @@ TABLES = [
 
 
 def _norm(v):
-    if v is None:
-        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -38,9 +36,17 @@ def _norm(v):
     return v
 
 
+def _sort_key(t):
+    # NULL-safe, type-heterogeneous ordering: sort by (is-null, str(v)) so a
+    # NULL in a numeric column can't make sorted() compare str vs int
+    return tuple((v is None, str(v)) for v in t)
+
+
 def _multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key
+    )
 
 
 def main() -> int:
