@@ -20,7 +20,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Headline set: scan/agg, joins, window, native NER scan, DSL groups, full
-# reference-semantics NER pipeline, minhash near-dup, knn, text stats.
+# reference-semantics NER pipeline, minhash near-dup, LSH ANN (the scale
+# path — brute-force knn is demoted to oracle duty), text stats.
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -31,7 +32,7 @@ BENCH_QUERIES = [
     "q_group_membership",
     "q_token_stats",
     "q_dedup_exact",
-    "q_knn_cosine",
+    "q_lsh_ann",
     "q_ner_pipeline",
     "q_minhash_neardups",
     "q_simhash_neardups",

@@ -163,6 +163,7 @@ def pages_df_distributed(
     n: int,
     n_domains: int = 12,
     partitions: int = 64,
+    surface_scale: int = 1,
 ) -> DataFrame:
     """Distributed deterministic pages table for benchmark-scale inputs.
 
@@ -205,21 +206,24 @@ def pages_df_distributed(
                 # not a workload.
                 # entity cardinality grows with corpus size (each surface
                 # repeats on ~120 pages on average), like real web data
+                # surface_scale multiplies distinct-surface cardinality at
+                # a fixed page count (bench_scaling's mention-scale knob:
+                # more distinct mentions -> more rows per CC round)
                 if rng.random() < 0.5:
-                    uid = int(i) % max(2000, n // 120)
+                    uid = int(i) % (max(2000, n // 120) * surface_scale)
                     name = _EMAIL_NAMES[uid % len(_EMAIL_NAMES)]
                     sentences.append(
                         f"Reach {name}.{uid}@example.com or the backup "
                         f"{name}.{uid}.alt@example.com today."
                     )
                 if rng.random() < 0.3:
-                    p = int(i) % max(1000, n // 240)
+                    p = int(i) % (max(1000, n // 240) * surface_scale)
                     sentences.append(
                         f"Hotline 555-{p % 900 + 100:03d}-{(p * 7) % 10000:04d} "
                         "is open around the clock."
                     )
                 if rng.random() < 0.2:
-                    s = int(i) % max(500, n // 480)
+                    s = int(i) % (max(500, n // 480) * surface_scale)
                     slug = _URL_SLUGS[s % len(_URL_SLUGS)]
                     sentences.append(
                         f"Details at https://kb.example.org/{slug}/{s}."

@@ -31,8 +31,8 @@ ALIAS_DICT = [
 KG_THRESHOLD = 0.5
 MINHASH = dict(threshold=0.5, num_hashes=64, bands=16, shingle_k=3)
 SIMHASH_MAX_HAMMING = 8
-LSH_ANN = dict(dim=64, k=5, tables=4, n_planes=8)
-IVF_ANN = dict(dim=64, k=5, n_centroids=16, nprobe=4)
+LSH_ANN = dict(dim=64, k=5, tables=4, n_planes=8, probe_hamming=1)
+IVF_ANN = dict(dim=64, k=5, n_centroids=16, nprobe=4, kmeans_iters=5, sample_size=4096)
 NEARDUP_LSH = dict(threshold=0.3, dim=64, n_planes=6, tables=8)
 MULTIMODAL_DIM = 16
 

@@ -46,7 +46,7 @@ from ..spark.dedup import (
     simhash_chunk_bounds,
 )
 from ..spark.multimodal import _fake_features
-from ..spark.similarity import _centroids, _hyperplanes
+from ..spark.similarity import _centroids, _hyperplanes, _kmeans_refine, probe_masks
 from ..spark.tagger import _compiled_state
 
 # ---------------------------------------------------------------------------
@@ -269,19 +269,21 @@ def _cosine_py(a: list[float], b: list[float]) -> float:
 def _bucket_ids_py(
     vecs: dict[int, list[float]], dim: int, n_planes: int, tables: int, seed: int = 42
 ) -> dict[tuple[int, int], list[int]]:
-    """(table, bucket) -> member ids, replicating lsh_bucket_ids."""
-    plane_lists = [
-        [[float(v) for v in row] for row in _hyperplanes(dim, n_planes, seed + t)]
-        for t in range(tables)
-    ]
+    """(table, bucket) -> member ids, replicating lsh_bucket_ids.
+
+    Same per-row fixed-shape GEMV (planes @ x) as the Spark kernel, so the
+    BLAS summation order — and therefore every sign bit — is identical."""
+    planes = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(tables)]
+    )
+    powers = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
     for vid, vec in vecs.items():
+        x = np.asarray(vec, dtype=np.float64)
+        bits = (planes @ x >= 0).astype(np.int64)
+        per_table = (bits.reshape(tables, n_planes) * powers).sum(axis=1)
         for t in range(tables):
-            bucket = 0
-            for j in range(n_planes):
-                if _fold_dot(vec, plane_lists[t][j]) >= 0:
-                    bucket += 1 << j
-            buckets[(t, bucket)].append(vid)
+            buckets[(t, int(per_table[t]))].append(vid)
     return buckets
 
 
@@ -305,29 +307,44 @@ def oracle_lsh_ann(sf_dir: str) -> list[tuple]:
     vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
     queries = {i for i in vecs if i < 10}
     buckets = _bucket_ids_py(vecs, p["dim"], p["n_planes"], p["tables"])
+    # multiprobe: each query also probes buckets within probe_hamming bits
+    masks = probe_masks(p["n_planes"], p.get("probe_hamming", 0)) or [0]
+    probed: dict[tuple[int, int], set[int]] = defaultdict(set)
+    for (t, bucket), members in buckets.items():
+        for q in members:
+            if q in queries:
+                for m in masks:
+                    probed[(t, bucket ^ m)].add(q)
     cand: dict[int, set[int]] = defaultdict(set)
-    for members in buckets.values():
-        qs = [m for m in members if m in queries]
-        for q in qs:
-            for m in members:
-                if m != q:
-                    cand[q].add(m)
+    for key, qs in probed.items():
+        for nid in buckets.get(key, ()):
+            for q in qs:
+                if nid != q:
+                    cand[q].add(nid)
     return _topk_py(cand, vecs, p["k"])
 
 
 def oracle_ivf_ann(sf_dir: str) -> list[tuple]:
     p = flagship.IVF_ANN
-    cents = [
-        [float(v) for v in row] for row in _centroids(p["dim"], p["n_centroids"], 42)
-    ]
     vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
+    raw = _centroids(p["dim"], p["n_centroids"], 42)
+    if p.get("kmeans_iters", 0) > 0:
+        # the deterministic training sample: lowest sample_size ids, exactly
+        # as train_centroids collects them
+        sample_ids = sorted(vecs)[: p["sample_size"]]
+        X = np.array([vecs[i] for i in sample_ids], dtype=np.float64)
+        raw = _kmeans_refine(X, raw, p["kmeans_iters"])
+    cents = [[float(v) for v in row] for row in raw]
 
     def scores(vec):
         return [(_fold_dot(vec, cents[cid]), cid) for cid in range(len(cents))]
 
-    # array_max over (score, cid) structs == max tuple
+    # assignment kernel: per-row GEMV + numpy argmax (ties -> lowest id),
+    # exactly as ivf_assignments computes it
+    cents_np = np.asarray(raw, dtype=np.float64)
     assigned: dict[int, int] = {
-        vid: max(scores(vec))[1] for vid, vec in vecs.items()
+        vid: int((cents_np @ np.asarray(vec, dtype=np.float64)).argmax())
+        for vid, vec in vecs.items()
     }
     by_centroid: dict[int, list[int]] = defaultdict(list)
     for vid, cid in assigned.items():

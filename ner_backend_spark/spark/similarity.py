@@ -13,9 +13,13 @@
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
 def _cosine(col_a, col_b):
@@ -84,37 +88,68 @@ def lsh_bucket_ids(
     tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, table, bucket): sign-bit bucket per hash table, JVM-side.
+    """(id, table, bucket): sign-bit bucket per hash table, one scan.
 
-    The hyperplane matrix is tiny and folded into the plan as literals
-    (broadcast analogue). bucket = sum of sign bits weighted by 2^j.
-    All `tables` bucket ids come out of ONE projection + posexplode — a
-    single scan of the vectors, not one union branch (= full re-scan) per
-    table (VERDICT r1 "What's wrong" #6).
+    bucket = sum of sign bits weighted by 2^j over the table's hyperplanes;
+    all `tables` bucket ids come out of ONE pass over the vectors.
     """
+    # Arrow-batched numpy kernel, NOT an unrolled JVM expression: Spark
+    # higher-order functions (aggregate/zip_with) evaluate interpreted,
+    # per-element — measured ~1 ms/row for tables*n_planes plane dots, which
+    # is a scale killer (10^9 vectors -> CPU-weeks). The kernel computes
+    # each row's plane dots as one fixed-shape GEMV (planes @ x), the same
+    # call the python oracle makes — fixed shape means a fixed BLAS
+    # summation order, so bucket ids are bit-identical across batch sizes
+    # and between Spark and the oracle.
+    planes = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(tables)]
+    )  # (tables * n_planes, dim), float64
+    powers = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("table", IntegerType(), False),
+            StructField("bucket", IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].values
+            bucket_rows = np.empty((len(pdf), tables), dtype=np.int64)
+            for r, vec in enumerate(pdf["vec"].values):
+                x = np.asarray(vec, dtype=np.float64)
+                bits = (planes @ x >= 0).astype(np.int64)
+                bucket_rows[r] = (
+                    bits.reshape(tables, n_planes) * powers
+                ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, tables),
+                    "table": np.tile(
+                        np.arange(tables, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": bucket_rows.reshape(-1).astype(np.int32),
+                }
+            )
+
+    from .session import ensure_parallelism
+
     out = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    per_table = []
-    for t in range(tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        bucket = F.lit(0)
-        for j in range(n_planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    "vec",
-                    F.array(*[F.lit(float(v)) for v in planes[j]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        per_table.append(bucket)
-    return out.select(
-        "id", F.posexplode(F.array(*per_table)).alias("table", "bucket")
-    )
+    return ensure_parallelism(out).mapInPandas(run, schema)
+
+
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for multiprobe: every bucket within Hamming distance
+    ``probe_hamming`` of the query's bucket."""
+    return [
+        m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming
+    ]
 
 
 def lsh_topk(
@@ -127,14 +162,38 @@ def lsh_topk(
     n_planes: int = 8,
     tables: int = 4,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: rank only candidates sharing an LSH bucket."""
+    """Approximate top-k: rank only candidates sharing an LSH bucket.
+
+    ``probe_hamming`` enables multiprobe (Lv et al., VLDB'07): each query
+    additionally probes every bucket within that Hamming distance of its own
+    — the QUERY side explodes (cheap, queries are small), candidate vectors
+    are still bucketed once. probe_hamming=1 with 8 planes probes 9 of 256
+    buckets per table. Recall depends on how concentrated true neighbors
+    are: for clustered embeddings (neighbor cosine >= ~0.7) recall is >0.9
+    (pinned in tests/test_ann_recall.py); for near-uniform vectors (neighbor
+    cosine ~0.3, the information-theoretically hard regime) no sublinear
+    method retains high recall — raise probe_hamming/tables toward
+    brute-force as needed.
+    """
     cand_buckets = lsh_bucket_ids(
         embeddings, dim, id_col, vec_col, n_planes, tables, seed
     )
     query_buckets = lsh_bucket_ids(
         queries, dim, id_col, vec_col, n_planes, tables, seed
     ).withColumnRenamed("id", "query_id")
+    if probe_hamming > 0:
+        masks = probe_masks(n_planes, probe_hamming)
+        query_buckets = query_buckets.select(
+            "query_id",
+            "table",
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("bucket"),
+        )
 
     cand_pairs = (
         query_buckets.join(cand_buckets, ["table", "bucket"])
@@ -178,24 +237,75 @@ def _centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
     return cents
 
 
+def _kmeans_refine(X: np.ndarray, cents: np.ndarray, iters: int) -> np.ndarray:
+    """Deterministic spherical Lloyd iterations (float64, argmax ties ->
+    lowest index). Pure numpy so the python oracle reproduces it bit-exactly
+    from the same sample rows."""
+    cents = cents.copy()
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            pts = X[assign == c]
+            if len(pts):
+                v = pts.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cents[c] = v / norm
+    return cents
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Coarse-quantizer training: k-means over a deterministic sample.
+
+    The sample is the ``sample_size`` lowest ids (a fixed, order-stable
+    choice — at web scale substitute a hash-sampled fraction; training cost
+    stays O(sample) on the driver either way). Seeded with the random unit
+    centroids, refined by spherical Lloyd iterations. Data-adapted cells
+    beat random ones exactly when the data is clustered — which is when IVF
+    is the right index at all.
+    """
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["vec"] for r in rows], dtype=np.float64)
+    return _kmeans_refine(X, _centroids(dim, n_centroids, seed), kmeans_iters)
+
+
 def _centroid_scores(vec_col: str, cents: np.ndarray):
-    """array<struct(score, cid)>: dot product of `vec_col` with each centroid."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(float(v)) for v in cents[cid]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in range(len(cents))
-        ]
+    """array<struct(score, cid)>: dot product of `vec_col` with each centroid.
+
+    Built as one `transform` over the literal centroid matrix (not
+    n_centroids unrolled aggregates — see lsh_bucket_ids on codegen cost);
+    identical fold order, so scores are bit-identical to the unrolled form.
+    """
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in cents]
+    )
+    return F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+            i.alias("cid"),
+        ),
     )
 
 
@@ -265,19 +375,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    kmeans_iters: int = 0,
+    sample_size: int = 4096,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: queries probe their `nprobe` nearest centroids
     and rank only vectors assigned to those centroids.
 
     On a real warehouse `centroid_id` is the physical partition key of the
     vector table, so the candidate join below prunes to nprobe partitions;
-    here it is a shuffle key. Centroids are the same deterministic unit
-    vectors as :func:`ivf_assignments`.
+    here it is a shuffle key. With ``kmeans_iters > 0`` the coarse quantizer
+    is trained on a deterministic sample (:func:`train_centroids`) instead
+    of using raw random unit vectors; pass ``centroids`` to reuse a
+    quantizer fitted elsewhere (it MUST be the one vectors were assigned
+    with).
     """
-    cents = _centroids(dim, n_centroids, seed)
+    if centroids is None:
+        if kmeans_iters > 0:
+            centroids = train_centroids(
+                embeddings, dim, n_centroids, id_col, vec_col, seed,
+                kmeans_iters, sample_size,
+            )
+        else:
+            centroids = _centroids(dim, n_centroids, seed)
+    cents = centroids
 
     assigned = ivf_assignments(
-        embeddings, dim, n_centroids, id_col, vec_col, seed
+        embeddings, dim, n_centroids, id_col, vec_col, seed, centroids=cents
     ).withColumnRenamed("id", "neighbor_id")
 
     q = queries.select(
@@ -323,6 +447,7 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, centroid_id): nearest deterministic random centroid.
 
@@ -331,14 +456,33 @@ def ivf_assignments(
     seed-fixed random unit vectors (a k-means step can refine them without
     changing the operator shape).
     """
-    cents = _centroids(dim, n_centroids, seed)
+    cents = _centroids(dim, n_centroids, seed) if centroids is None else centroids
+    cents = np.asarray(cents, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("centroid_id", IntegerType(), False),
+        ]
+    )
+
+    # Arrow-batched numpy kernel (see lsh_bucket_ids on why not JVM
+    # higher-order functions for the per-corpus-row path). Fixed-shape GEMV
+    # per row -> deterministic scores; ties resolve to the LOWEST centroid
+    # id (numpy argmax), replicated by the python oracle.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            assigned = np.empty(len(pdf), dtype=np.int32)
+            for r, vec in enumerate(pdf["vec"].values):
+                x = np.asarray(vec, dtype=np.float64)
+                assigned[r] = int((cents @ x).argmax())
+            yield pd.DataFrame({"id": pdf["id"].values, "centroid_id": assigned})
+
+    from .session import ensure_parallelism
+
     out = embeddings.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    # Linear expression tree: one struct per centroid, argmax via array_max
-    # over (score, cid) struct ordering. (A chained when(score > best, ...)
-    # construction re-embeds every previous score expression and blows up
-    # exponentially in Catalyst — 2^n_centroids nodes.)
-    scores = _centroid_scores("vec", cents)
-    return out.select("id", F.array_max(scores)["cid"].alias("centroid_id"))
+    return ensure_parallelism(out).mapInPandas(run, schema)
