@@ -185,7 +185,12 @@ def main() -> None:
         " kg_* fields: full pages->entities->triples pipeline",
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    name = (
+        "SCALING.json"
+        if MENTION_SCALE == 1
+        else f"SCALING_m{MENTION_SCALE}.json"
+    )
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(report, f, indent=2)
 
 
