@@ -455,6 +455,33 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(ents, groups, alias_df, threshold=KG_THRESHOLD)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash-bernoulli sample of documents: one
+    scan, no shuffle, membership a pure function of (salt, doc_id) — stable
+    across partitionings/retries/engines (spark/sampling.py)."""
+    from ner_backend_spark.flagship import STRATIFIED_SAMPLE as CFG
+    from ner_backend_spark.spark.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", CFG["rates"], CFG["default_rate"], CFG["salt"]
+    ).select("doc_id", "lang")
+
+
+def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention clustering exposed directly: (id, component) where component
+    is the min node id of the cluster (LSH-blocked similarity edges ∪ alias
+    virtual-node edges -> large-star/small-star connected components)."""
+    from ner_backend_spark.flagship import KG_THRESHOLD
+    from ner_backend_spark.spark.kg import extract_mentions, mention_components
+
+    ents = _doc_entities(spark, sf_dir)
+    alias_df = spark.createDataFrame(ALIAS_DICT, "surface string, canonical_id string")
+    return mention_components(
+        extract_mentions(ents), alias_df, threshold=KG_THRESHOLD
+    )
+
+
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.similarity import ivf_topk
 
@@ -618,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_sales": _q_rollup_sales,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_kg_triples": _q_kg_triples,
+        "q_kg_components": _q_kg_components,
+        "q_stratified_sample": _q_stratified_sample,
         "q_ivf_ann": _q_ivf_ann,
         "q_crf_pipeline": _q_crf_pipeline,
         "q_multimodal_features": _q_multimodal_features,
@@ -683,6 +712,8 @@ def oracle_sql() -> dict[str, str]:
             "q_ivf_ann",
             "q_embedding_neardup_lsh",
             "q_kg_triples",
+            "q_kg_components",
+            "q_stratified_sample",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —

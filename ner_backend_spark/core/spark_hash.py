@@ -234,6 +234,11 @@ def spark_xxhash64(*values, seed: int = 42) -> int:
 
 
 def _hash_one_xxh(v, seed: int) -> int:
+    if isinstance(v, tuple) and len(v) == 2 and v[0] in ("int", "long"):
+        # force the column type: a LONG column hashes via hashLong even for
+        # values that fit in int32 (same contract as spark_hash)
+        kind, val = v
+        return _xxh_int(val, seed) if kind == "int" else xxh64_long(val, seed)
     if isinstance(v, bool):
         return _xxh_int(1 if v else 0, seed)
     if isinstance(v, int):

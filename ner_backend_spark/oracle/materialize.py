@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "4"
+ORACLE_VERSION = "5"
 
 _S = pa.string()
 _L = pa.int64()
@@ -79,6 +79,14 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_kg_triples": (
         "oracle_kg_triples",
         pa.schema([("subj", _S), ("pred", _S), ("obj", _S)]),
+    ),
+    "q_kg_components": (
+        "oracle_kg_components",
+        pa.schema([("id", _L), ("component", _L)]),
+    ),
+    "q_stratified_sample": (
+        "oracle_stratified_sample",
+        pa.schema([("doc_id", _L), ("lang", _S)]),
     ),
 }
 

@@ -58,6 +58,11 @@ def load_documents(sf_dir: str) -> list[tuple[int, str]]:
     return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
 
 
+def load_document_langs(sf_dir: str) -> list[tuple[int, str]]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
+
+
 def load_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -436,10 +441,26 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
-def oracle_kg_triples(sf_dir: str) -> list[tuple]:
-    """(subj, pred, obj) — replicates spark/kg.py build_triples end-to-end
-    (LSH banding via the Spark-hash replicas; exact trigram Jaccard; CC with
-    min-id representatives; alias-dictionary canonicalization)."""
+def oracle_stratified_sample(sf_dir: str) -> list[tuple]:
+    """(doc_id, lang) — hash-bernoulli membership via the xxhash64 replica
+    (spark/sampling.py stratified_sample: keep iff
+    pmod(xxhash64(salt, doc_id), 1e6) < rate[lang] * 1e6)."""
+    cfg = flagship.STRATIFIED_SAMPLE
+    rows = []
+    for doc_id, lang in load_document_langs(sf_dir):
+        h = spark_xxhash64(cfg["salt"], ("long", doc_id)) % 1_000_000
+        rate = cfg["rates"].get(lang, cfg["default_rate"])
+        if h < int(rate * 1_000_000):
+            rows.append((doc_id, lang))
+    return sorted(rows)
+
+
+def _kg_state(sf_dir: str):
+    """(ents, mentions, hits, comp): the shared KG clustering state.
+
+    Replicates spark/kg.py mention_edges + connected_components exactly
+    (LSH banding via the Spark-hash replicas; exact trigram Jaccard;
+    min-node-id components including virtual alias nodes)."""
     ents = _native_entities(sf_dir)
 
     # mentions: distinct (label, text); id = xxhash64(label, text)
@@ -495,6 +516,20 @@ def oracle_kg_triples(sf_dir: str) -> list[tuple]:
             uf.union(mid, spark_xxhash64("alias:" + cid))
 
     comp = {mid: uf.find(mid) for mid in mentions}
+    return ents, mentions, hits, comp
+
+
+def oracle_kg_components(sf_dir: str) -> list[tuple]:
+    """(id, component) per mention — the directly-queryable clustering
+    (spark/kg.py mention_components)."""
+    _, _, _, comp = _kg_state(sf_dir)
+    return sorted(comp.items())
+
+
+def oracle_kg_triples(sf_dir: str) -> list[tuple]:
+    """(subj, pred, obj) — replicates spark/kg.py build_triples end-to-end
+    (clustering from _kg_state; alias-dictionary canonicalization)."""
+    ents, mentions, hits, comp = _kg_state(sf_dir)
 
     # canonical per component: min alias canonical_id if any, else min
     # (norm, text) member surface

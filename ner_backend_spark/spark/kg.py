@@ -324,33 +324,71 @@ def canonicalize(
     dictionary, else the lexicographically smallest member surface.
     """
     mentions = extract_mentions(entities).persist()
+    edges, hits = mention_edges(
+        mentions, alias_df, threshold, num_hashes, bands, max_bucket_size
+    )
+    comp = connected_components(edges)
+    out = canonical_map(mentions, comp, hits)
+    mentions.unpersist()
+    return out
 
+
+def mention_edges(
+    mentions: DataFrame,
+    alias_df: DataFrame | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 15,
+    bands: int = 5,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(edges, alias_hits): the similarity graph clusters are computed over.
+
+    edges = (LSH-blocked pairs passing exact-Jaccard ``threshold``) ∪
+    (mention -> virtual per-dictionary-entry node, for alias hits) — the
+    virtual node connects every mention matching the same dictionary entry
+    without materializing the within-entry clique.
+    """
     pairs = lsh_candidate_pairs(
         mentions, num_hashes, bands, max_bucket_size=max_bucket_size
     )
     sim_edges = score_links(pairs, mentions, threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+    if alias_df is None:
+        return sim_edges, None
+    # materialized: hits is consumed by the alias edges AND (lazily, in the
+    # returned plan) by canonical_map's comp_alias branch, which would
+    # otherwise re-derive mentions after the caller unpersists them
+    hits = _materialize(alias_candidates(mentions, alias_df))
+    alias_edges = hits.select(
+        F.col("mention_id").alias("src"),
+        F.xxhash64(F.concat(F.lit("alias:"), "canonical_id")).alias("dst"),
+    )
+    return sim_edges.union(alias_edges), hits
 
-    if alias_df is not None:
-        # materialized: hits is consumed by the alias edges AND (lazily, in
-        # the returned plan) by canonical_map's comp_alias branch, which
-        # would otherwise re-derive mentions after the unpersist below
-        hits = _materialize(alias_candidates(mentions, alias_df))
-        # connect mentions through a per-dictionary-entry virtual node
-        alias_edges = hits.select(
-            F.col("mention_id").alias("src"),
-            F.xxhash64(F.concat(F.lit("alias:"), "canonical_id")).alias("dst"),
-        )
-        edges = sim_edges.union(alias_edges)
-    else:
-        hits = None
-        edges = sim_edges
 
+def mention_components(
+    mentions: DataFrame,
+    alias_df: DataFrame | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 15,
+    bands: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id, component) for every mention (component = min node id in its
+    cluster; isolated mentions map to themselves). The directly-queryable
+    form of the clustering that canonicalize consumes."""
+    edges, _ = mention_edges(
+        mentions, alias_df, threshold, num_hashes, bands, max_bucket_size
+    )
     comp = connected_components(edges)
-    out = canonical_map(mentions, comp, hits)
-    mentions.unpersist()
-    return out
+    return (
+        mentions.join(comp, mentions.mention_id == comp.id, "left")
+        .select(
+            F.col("mention_id").alias("id"),
+            F.coalesce("component", F.col("mention_id")).alias("component"),
+        )
+    )
 
 
 def canonical_map(
@@ -437,15 +475,29 @@ def build_triples(
 
 
 def write_triples(
-    triples: DataFrame, path: str, n_buckets: int = 64, mode: str = "overwrite"
+    triples: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    sink=None,
 ) -> None:
     """Partitioned materialization: pred is the natural partition column
-    (low cardinality, prunes HAS_<LABEL> queries); subj-hash bucketing within
-    files co-locates a url's triples."""
-    (
-        triples.repartition(n_buckets, F.col("subj"))
-        .sortWithinPartitions("subj", "pred")
-        .write.mode(mode)
-        .partitionBy("pred")
-        .parquet(path)
+    (low cardinality, prunes HAS_<LABEL> queries); subj-hash distribution
+    within partitions co-locates a url's triples. ``path`` doubles as the
+    table name under a custom sink (Iceberg: pass sinks.IcebergSink and a
+    plain table name)."""
+    from . import sinks
+
+    if sink is None:
+        base, _, table = path.rpartition("/")
+        sink = sinks.ParquetSink(base or ".")
+    else:
+        table = path
+    sink.write(
+        triples,
+        table,
+        spec=(sinks.identity("pred"),),
+        mode=mode,
+        distribute=(n_buckets, ["subj"]),
+        sort_within=["subj", "pred"],
     )

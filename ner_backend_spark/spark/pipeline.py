@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import sinks
 from .tagger import ReportConfig, explode_entities, explode_groups, tag_documents
 
 
@@ -100,27 +101,28 @@ def run_report(pages: DataFrame, config: ReportConfig) -> ReportOutput:
 
 
 def write_outputs(
-    out: ReportOutput, base_path: str, n_buckets: int = 64, mode: str = "overwrite"
+    out: ReportOutput,
+    base_path: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    sink: "sinks.TableSink | None" = None,
 ) -> None:
-    """Materialize outputs as parquet, bucketed by hash(url) partition.
+    """Materialize outputs under a url-hash bucket partition spec.
 
-    ``partition_id = pmod(xxhash64(url), n_buckets)`` gives (a) partition
-    pruning for per-bucket resume (checkpoint.py) and (b) co-location of all
-    rows of a url. On a cluster with Iceberg this maps to
-    ``bucket(n, url)`` partition transforms; plain parquet keeps the sandbox
-    dependency-free.
+    The spec is ``bucket(n_buckets, url)`` — on the default
+    :class:`sinks.ParquetSink` that lowers to a generated
+    ``partition_id = pmod(xxhash64(url), n_buckets)`` directory column
+    (what checkpoint.py prunes on for per-bucket resume); on
+    :class:`sinks.IcebergSink` it lowers to the native ``bucket(n, url)``
+    partition transform the north_star names. Either way all rows of a url
+    co-locate in one partition.
     """
-    entities = out.entities.withColumn(
-        "partition_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets))
-    )
-    entities.write.mode(mode).partitionBy("partition_id").parquet(
-        f"{base_path}/entities"
-    )
-    out.object_groups.write.mode(mode).parquet(f"{base_path}/object_groups")
-    out.report_tags.write.mode(mode).parquet(f"{base_path}/report_tags")
-    out.custom_tag_counts.write.mode(mode).parquet(
-        f"{base_path}/custom_tag_counts"
-    )
-    out.token_counts.write.mode(mode).parquet(f"{base_path}/token_counts")
+    sink = sink or sinks.ParquetSink(base_path)
+    bucket_spec = (sinks.bucket(n_buckets, "url", alias="partition_id"),)
+    sink.write(out.entities, "entities", spec=bucket_spec, mode=mode)
+    sink.write(out.object_groups, "object_groups", mode=mode)
+    sink.write(out.report_tags, "report_tags", mode=mode)
+    sink.write(out.custom_tag_counts, "custom_tag_counts", mode=mode)
+    sink.write(out.token_counts, "token_counts", mode=mode)
     if out.previews is not None:
-        out.previews.write.mode(mode).parquet(f"{base_path}/object_previews")
+        sink.write(out.previews, "object_previews", mode=mode)

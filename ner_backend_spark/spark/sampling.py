@@ -1,0 +1,123 @@
+"""Deterministic sampling + table maintenance ops for training-data curation.
+
+At 100 TB, "give me 1% of every language" must be (a) a single scan with no
+shuffle, (b) reproducible run-to-run and across resumes, (c) expressible as
+a pushed-down filter. Spark's ``df.sample`` is none of these (its seed is
+combined with the partition index, so repartitioning changes membership).
+Hash-bernoulli sampling — keep a row iff
+``pmod(xxhash64(key), 10^6) < rate * 10^6`` — is all three; membership is a
+pure function of the key, so the python oracle replays it exactly through
+the pinned xxhash64 replica (core/spark_hash.py).
+
+``compact`` is the companion maintenance op: a partitioned table written by
+many tasks accumulates small files; rewriting each partition to
+size-targeted files keeps scans at full throughput (an Iceberg
+rewrite_data_files analogue for the parquet sink).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff
+    ``pmod(xxhash64(salt, key), 1e6) < rate * 1e6``.
+
+    Membership depends only on the key value (stable across partitionings,
+    retries, resumes, and engines); distinct salts give independent samples
+    (e.g. train/validation splits that never overlap rows for salt-disjoint
+    rates summing <= 1).
+    """
+    threshold = int(rate * _DENOM)
+    h = F.pmod(F.xxhash64(F.lit(salt), F.col(key)), F.lit(_DENOM))
+    return df.filter(h < threshold)
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float],
+    default_rate: float = 0.0, salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling in ONE scan, no shuffle.
+
+    ``rates`` maps stratum value -> keep rate; unlisted strata use
+    ``default_rate``. The rate lookup compiles to a broadcast-free literal
+    CASE WHEN (strata sets are small — languages, quality buckets); the
+    whole operator is a filter, so it pushes down past projections and
+    combines with partition pruning.
+    """
+    thresh = F.lit(int(default_rate * _DENOM))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum) == value, F.lit(int(rate * _DENOM))
+        ).otherwise(thresh)
+    h = F.pmod(F.xxhash64(F.lit(salt), F.col(key)), F.lit(_DENOM))
+    return df.filter(h < thresh)
+
+
+def split(
+    df: DataFrame, key: str, weights: dict[str, float], salt: str = ""
+) -> dict[str, DataFrame]:
+    """Disjoint deterministic splits (train/val/test) from one hash.
+
+    Weights need not sum to 1 (the remainder is dropped). Each split is a
+    contiguous hash range, so splits are disjoint BY CONSTRUCTION — no
+    membership list, no join, stable under re-runs.
+    """
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    h = F.pmod(F.xxhash64(F.lit(salt), F.col(key)), F.lit(_DENOM))
+    for name, w in weights.items():
+        hi = lo + int(w * _DENOM)
+        out[name] = df.filter((h >= F.lit(lo)) & (h < F.lit(hi)))
+        lo = hi
+    if lo > _DENOM:
+        raise ValueError("split weights exceed 1.0")
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 512,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet table into ~target_mb files; returns file count.
+
+    The parquet analogue of Iceberg's rewrite_data_files: reads the table,
+    computes the output file count from the on-disk byte size, and rewrites
+    with a repartition — preserving directory partitioning if
+    ``partition_cols`` is given. Use after many incremental/streaming
+    appends have fragmented the table.
+    """
+    df = spark.read.parquet(path)
+    # on-disk size via the file index (no data scan)
+    total_bytes = _table_bytes(df)
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    # atomic-ish swap via the filesystem (sandbox: local fs rename)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
+def _table_bytes(df: DataFrame) -> int:
+    import os
+
+    return sum(
+        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+        for f in df.inputFiles()
+    )

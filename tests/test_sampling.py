@@ -1,0 +1,79 @@
+"""Deterministic sampling + compaction: membership stability, stratum rates,
+disjoint splits, small-file rewrite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_backend_spark.core.spark_hash import spark_xxhash64
+from ner_backend_spark.spark import sampling
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_sample_stable_under_repartition(spark, docs):
+    a = {r[0] for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r[0]
+        for r in sampling.hash_sample(
+            docs.repartition(17, "lang"), "doc_id", 0.3
+        ).collect()
+    }
+    assert a == b
+    assert 0.25 < len(a) / 3000 < 0.35
+
+
+def test_hash_sample_matches_python_replica(spark, docs):
+    got = {r[0] for r in sampling.hash_sample(docs, "doc_id", 0.2, salt="s").collect()}
+    want = {
+        i
+        for i in range(3000)
+        if spark_xxhash64("s", ("long", i)) % 1_000_000 < 200_000
+    }
+    assert got == want
+
+
+def test_stratified_rates(spark, docs):
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.1}, default_rate=0.0
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert "zh" not in counts  # default_rate=0 drops unlisted strata
+    assert 400 < counts["en"] < 600  # 1000 en docs @ 0.5
+    assert 60 < counts["de"] < 140  # 1000 de docs @ 0.1
+
+
+def test_split_disjoint_and_stable(spark, docs):
+    parts = sampling.split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    ids = {k: {r[0] for r in v.collect()} for k, v in parts.items()}
+    assert ids["train"] | ids["val"] | ids["test"] == set(range(3000))
+    assert not (ids["train"] & ids["val"])
+    assert not (ids["val"] & ids["test"])
+    assert not (ids["train"] & ids["test"])
+    with pytest.raises(ValueError):
+        sampling.split(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_compact_rewrites_small_files(spark, docs, tmp_path):
+    path = str(tmp_path / "frag")
+    docs.repartition(40).write.parquet(path)
+    assert len(spark.read.parquet(path).inputFiles()) == 40
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n = sampling.compact(spark, path, target_mb=512)
+    assert n == 1
+    assert len(spark.read.parquet(path).inputFiles()) == 1
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_xxhash64_long_override_pinned_vs_spark(spark):
+    df = spark.createDataFrame([(5,), (123456789012,)], "v long")
+    got = [r[0] for r in df.select(F.xxhash64(F.lit("s"), "v")).collect()]
+    want = [
+        spark_xxhash64("s", ("long", 5)),
+        spark_xxhash64("s", ("long", 123456789012)),
+    ]
+    assert got == want

@@ -1,0 +1,117 @@
+"""Sink abstraction: one partition spec, parquet + Iceberg lowerings.
+
+The ParquetSink must reproduce round-1's hand-written layouts byte-for-byte
+(checkpoint.py prunes on partition_id=pmod(xxhash64(url), n)); the Iceberg
+lowering must produce the native transform expressions the north_star names
+(bucket(n, url), days(warc_ts)) — the write itself needs a catalog the
+sandbox doesn't have, so we pin the transform plan, not the table.
+"""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_backend_spark.spark import sinks
+
+
+@pytest.fixture()
+def pages(spark):
+    return spark.createDataFrame(
+        [
+            (f"https://d{i % 3}.example.com/p{i}",
+             datetime.datetime(2025, 1, 1 + i % 5, i % 24, 0, 0),
+             float(i))
+            for i in range(40)
+        ],
+        "url string, warc_ts timestamp, v double",
+    )
+
+
+def test_parquet_bucket_matches_legacy_layout(spark, pages, tmp_path):
+    sink = sinks.ParquetSink(str(tmp_path))
+    sink.write(
+        pages, "entities",
+        spec=(sinks.bucket(8, "url", alias="partition_id"),),
+    )
+    dirs = sorted(
+        d for d in os.listdir(tmp_path / "entities")
+        if d.startswith("partition_id=")
+    )
+    assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
+    back = spark.read.parquet(str(tmp_path / "entities"))
+    # bucket assignment is exactly checkpoint.py's pruning function
+    bad = back.filter(
+        F.col("partition_id") != F.pmod(F.xxhash64("url"), F.lit(8))
+    )
+    assert bad.isEmpty()
+    assert back.count() == 40
+
+
+def test_parquet_time_transform_partitions(spark, pages, tmp_path):
+    sink = sinks.ParquetSink(str(tmp_path))
+    sink.write(pages, "by_day", spec=(sinks.days("warc_ts"),))
+    dirs = sorted(
+        d for d in os.listdir(tmp_path / "by_day")
+        if d.startswith("warc_ts_days=")
+    )
+    assert dirs == [
+        "warc_ts_days=2025-01-01",
+        "warc_ts_days=2025-01-02",
+        "warc_ts_days=2025-01-03",
+        "warc_ts_days=2025-01-04",
+        "warc_ts_days=2025-01-05",
+    ]
+    # raw timestamp column survives the round-trip unchanged
+    back = spark.read.parquet(str(tmp_path / "by_day"))
+    assert back.count() == 40
+    assert set(back.columns) == {"url", "warc_ts", "v", "warc_ts_days"}
+
+
+def test_parquet_identity_distribute_sort(spark, pages, tmp_path):
+    sink = sinks.ParquetSink(str(tmp_path))
+    df = pages.withColumn("pred", F.lit("HAS_X"))
+    sink.write(
+        df, "triples",
+        spec=(sinks.identity("pred"),),
+        distribute=(4, ["url"]),
+        sort_within=["url"],
+    )
+    assert os.path.isdir(tmp_path / "triples" / "pred=HAS_X")
+    back = spark.read.parquet(str(tmp_path / "triples"))
+    assert back.count() == 40
+
+
+def test_iceberg_transform_lowering():
+    spec = (
+        sinks.bucket(64, "url"),
+        sinks.days("warc_ts"),
+        sinks.identity("lang"),
+    )
+    cols = sinks.iceberg_transforms(spec)
+    reprs = [str(c) for c in cols]
+    assert "bucket" in reprs[0] and "url" in reprs[0]
+    assert "days" in reprs[1] and "warc_ts" in reprs[1]
+    assert "lang" in reprs[2]
+
+
+def test_invalid_spec_rejected():
+    with pytest.raises(ValueError):
+        sinks.PartitionField("zorp", "url")
+    with pytest.raises(ValueError):
+        sinks.bucket(0, "url")
+
+
+def test_write_triples_via_sink_default(spark, tmp_path):
+    """kg.write_triples keeps its legacy path-based call shape."""
+    from ner_backend_spark.spark import kg
+
+    triples = spark.createDataFrame(
+        [("u1", "HAS_EMAIL", "a@b.c"), ("u2", "IN_GROUP", "g1")],
+        "subj string, pred string, obj string",
+    )
+    path = str(tmp_path / "triples")
+    kg.write_triples(triples, path, n_buckets=2)
+    assert os.path.isdir(tmp_path / "triples" / "pred=HAS_EMAIL")
+    assert spark.read.parquet(path).count() == 2

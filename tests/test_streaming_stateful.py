@@ -1,0 +1,114 @@
+"""Stateful streaming ops: first-seen dedup (GroupState) + gap sessions.
+
+Each test drives a real streaming query end-to-end: file source ->
+availableNow trigger -> memory sink, with restarts over the same checkpoint
+to prove state survives.
+"""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ner_backend_spark.fixtures import PAGES_SCHEMA
+from ner_backend_spark.streaming.stateful import (
+    stream_first_seen,
+    stream_sessions,
+)
+
+
+def _page(i, text):
+    return (
+        f"https://example.com/p{i}",
+        datetime.datetime(2025, 1, 1, 0, 0, 0),
+        text.encode(),
+        text,
+        "en",
+    )
+
+
+def _run_first_seen(spark, in_path, ckpt, out_path):
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(in_path)
+    )
+    q = (
+        stream_first_seen(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        r["fingerprint"]: (r["url"], r["n_duplicates"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+
+def test_first_seen_dedup_within_and_across_triggers(spark, tmp_path):
+    in_path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_path = str(tmp_path / "out")
+
+    # batch 1: "dup" text appears 3x (urls p1<p2<p5), "solo" once
+    spark.createDataFrame(
+        [_page(1, "dup"), _page(2, "dup"), _page(5, "dup"), _page(3, "solo")],
+        PAGES_SCHEMA,
+    ).write.parquet(in_path)
+    got = _run_first_seen(spark, in_path, ckpt, out_path)
+    assert len(got) == 2
+    fp_dup = [fp for fp, (u, _) in got.items() if u.endswith("p1")]
+    assert len(fp_dup) == 1 and got[fp_dup[0]] == (
+        "https://example.com/p1", 2,
+    )
+
+    # batch 2 (restart, same checkpoint): more "dup" copies -> NOT re-emitted
+    # (state survives the restart); one genuinely new text -> emitted
+    spark.createDataFrame(
+        [_page(7, "dup"), _page(8, "fresh")], PAGES_SCHEMA
+    ).write.mode("append").parquet(in_path)
+    got2 = _run_first_seen(spark, in_path, ckpt, out_path)
+    assert len(got2) == 3  # dup NOT re-emitted despite the new p7 copy
+    new = {u for u, _ in got2.values()} - {u for u, _ in got.values()}
+    assert new == {"https://example.com/p8"}
+
+
+def test_stream_sessions_gap_merge(spark, tmp_path):
+    in_path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+    def ev(user, minutes):
+        return (user, t0 + datetime.timedelta(minutes=minutes))
+
+    # u1: events at 0,10,20 (one session) then 120,125 (second session)
+    # u2: single event
+    rows = [ev("u1", 0), ev("u1", 10), ev("u1", 20), ev("u1", 120),
+            ev("u1", 125), ev("u2", 5)]
+    spark.createDataFrame(rows, "user_id string, ts timestamp").write.parquet(
+        in_path
+    )
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(
+        in_path
+    )
+    q = (
+        stream_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("select * from sess").collect()
+    }
+    assert got == {
+        ("u1", t0, 3),
+        ("u1", t0 + datetime.timedelta(minutes=120), 2),
+        ("u2", t0 + datetime.timedelta(minutes=5), 1),
+    }
