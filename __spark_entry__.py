@@ -450,9 +450,12 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("group_name", F.lit("sparky"))
     )
     alias_df = spark.createDataFrame(ALIAS_DICT, "surface string, canonical_id string")
-    from ner_backend_spark.flagship import KG_THRESHOLD
+    from ner_backend_spark.flagship import KG_MAX_BUCKET, KG_THRESHOLD
 
-    return build_triples(ents, groups, alias_df, threshold=KG_THRESHOLD)
+    return build_triples(
+        ents, groups, alias_df,
+        threshold=KG_THRESHOLD, max_bucket_size=KG_MAX_BUCKET,
+    )
 
 
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,13 +475,14 @@ def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention clustering exposed directly: (id, component) where component
     is the min node id of the cluster (LSH-blocked similarity edges ∪ alias
     virtual-node edges -> large-star/small-star connected components)."""
-    from ner_backend_spark.flagship import KG_THRESHOLD
+    from ner_backend_spark.flagship import KG_MAX_BUCKET, KG_THRESHOLD
     from ner_backend_spark.spark.kg import extract_mentions, mention_components
 
     ents = _doc_entities(spark, sf_dir)
     alias_df = spark.createDataFrame(ALIAS_DICT, "surface string, canonical_id string")
     return mention_components(
-        extract_mentions(ents), alias_df, threshold=KG_THRESHOLD
+        extract_mentions(ents), alias_df,
+        threshold=KG_THRESHOLD, max_bucket_size=KG_MAX_BUCKET,
     )
 
 

@@ -126,9 +126,16 @@ def run_level(cores: int) -> dict:
         [("user0@example.com", "ENT_USER0"), ("a1b2c3", "ENT_TOKEN")],
         "surface string, canonical_id string",
     )
+    from ner_backend_spark.flagship import KG_MAX_BUCKET
+
     t0 = time.monotonic()
     entities = run_report(pages, config).entities.select("url", "label", "text")
-    noop(build_triples(entities, None, alias_df, threshold=0.5))
+    noop(
+        build_triples(
+            entities, None, alias_df,
+            threshold=0.5, max_bucket_size=KG_MAX_BUCKET,
+        )
+    )
     kg_secs = time.monotonic() - t0
 
     n_docs = N_PAGES

@@ -29,6 +29,12 @@ ALIAS_DICT = [
 
 # LSH/ANN tuning used by both the entry queries and the oracles.
 KG_THRESHOLD = 0.5
+# Semantic skew guard: LSH buckets larger than this are template surfaces
+# (shared email domains / URL prefixes), not linkable entities — at 10x
+# mention cardinality the uncapped pair graph over them is a near-clique
+# (measured: 48k pages -> 165M candidate pairs, KG 4->16-core efficiency
+# 0.44). The oracle (pyoracle._kg_state) applies the same rule.
+KG_MAX_BUCKET = 512
 MINHASH = dict(threshold=0.5, num_hashes=64, bands=16, shingle_k=3)
 SIMHASH_MAX_HAMMING = 8
 LSH_ANN = dict(dim=64, k=5, tables=4, n_planes=8, probe_hamming=1)

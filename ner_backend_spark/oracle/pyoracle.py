@@ -491,6 +491,8 @@ def _kg_state(sf_dir: str):
 
     cand: set[tuple[int, int]] = set()
     for ids in buckets.values():
+        if len(ids) > flagship.KG_MAX_BUCKET:
+            continue  # semantic skew guard, same rule as lsh_candidate_pairs
         ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

@@ -94,29 +94,16 @@ def alias_candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    mentions: DataFrame,
-    num_hashes: int = 15,
-    bands: int = 5,
-    same_label_only: bool = True,
-    max_bucket_size: int | None = None,
+def band_signatures(
+    mentions: DataFrame, num_hashes: int = 15, bands: int = 5
 ) -> DataFrame:
-    """(id_a, id_b) mention pairs sharing >=1 MinHash band bucket.
+    """(mention_id, label, band, band_hash): the LSH banding of each mention.
 
-    Signatures are built with built-in functions only:
-    sig[i] = array_min(transform(trigrams, t -> hash(t, i))). Band hash =
-    hash(slice(sig, ...)). Shuffle key is (band, band_hash[, label]).
-
-    Default banding 5 bands x 3 rows: collision probability ≈ 97% at
-    Jaccard 0.8 (the linking regime), ≈ 13% at 0.3 — selective enough that
-    dissimilar-surface pairs don't flood the downstream exact-Jaccard
-    verification (2 rows/band collides 43% of the time at J=0.3).
-
-    ``max_bucket_size`` is the skew guard for the self-join: a bucket of
-    size m emits O(m^2) pairs inside ONE task (join keys can't be split
-    below key granularity), so a boilerplate surface shared by 10^6
-    mentions would serialize the stage. Buckets above the cap are dropped —
-    at web scale such buckets are template strings, not linkable entities.
+    sig[i] = array_min(transform(trigrams, t -> hash(t, i))); band_hash =
+    hash(slice(sig, ...)). Pure column expressions — a mention's banding
+    depends only on its own surface, which is what makes the banding table
+    APPEND-ONLY under incremental construction (streaming/kg_update.py):
+    new mentions' bands join against stored bands without recomputing them.
     """
     rows_per_band = num_hashes // bands
     sig = with_trigrams(mentions).select(
@@ -133,7 +120,7 @@ def lsh_candidate_pairs(
             ]
         ).alias("signature"),
     )
-    banded = sig.select(
+    return sig.select(
         "mention_id",
         "label",
         F.posexplode(
@@ -147,41 +134,112 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    if max_bucket_size is not None:
-        # bucket granularity must match the join key: with same_label_only
-        # the self-join groups on (band, band_hash, label), so occupancy is
-        # counted per label too — otherwise a mixed-label bucket could be
-        # dropped even though each actual join group is small
-        bucket_cols = (
-            ["band", "band_hash", "label"]
-            if same_label_only
-            else ["band", "band_hash"]
-        )
-        sizes = banded.groupBy(*bucket_cols).agg(
-            F.count(F.lit(1)).alias("_bucket_size")
-        )
-        banded = (
-            banded.join(
-                sizes.filter(F.col("_bucket_size") <= max_bucket_size),
-                bucket_cols,
-            ).drop("_bucket_size")
-        )
-    l, r = banded.alias("l"), banded.alias("r")
-    cond = (
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.band_hash") == F.col("r.band_hash"))
-        & (F.col("l.mention_id") < F.col("r.mention_id"))
+
+
+def lsh_candidate_pairs(
+    mentions: DataFrame,
+    num_hashes: int = 15,
+    bands: int = 5,
+    same_label_only: bool = True,
+    max_bucket_size: int | None = None,
+    chunk_threshold: int = 256,
+    chunk_groups: int = 32,
+) -> DataFrame:
+    """(id_a, id_b) mention pairs sharing >=1 MinHash band bucket.
+
+    Signatures are built with built-in functions only:
+    sig[i] = array_min(transform(trigrams, t -> hash(t, i))). Band hash =
+    hash(slice(sig, ...)). Shuffle key is (band, band_hash[, label]).
+
+    Default banding 5 bands x 3 rows: collision probability ≈ 97% at
+    Jaccard 0.8 (the linking regime), ≈ 13% at 0.3 — selective enough that
+    dissimilar-surface pairs don't flood the downstream exact-Jaccard
+    verification (2 rows/band collides 43% of the time at J=0.3).
+
+    Skew: a bucket of size m emits O(m^2) pairs, and a plain self-join
+    generates ALL of them inside one task (join keys can't split below key
+    granularity) — template surfaces (shared email domains, URL prefixes)
+    produce m in the thousands, serializing the stage (measured: one
+    7,044-member bucket = 24.8M pairs in one task, KG 4→16-core efficiency
+    0.44). Buckets larger than ``chunk_threshold`` therefore go through a
+    CHUNKED self-join: members hash into ``chunk_groups`` chunks; the left
+    side replicates each row to every chunk >= its own, so join group
+    (bucket, g) holds the m/G right rows of chunk g against the left rows
+    of chunks <= g — the m^2 work spreads over G groups (max m^2/G per
+    task) at a shuffle-replication cost of G/2 per hot row only. Exact same
+    candidate set as the plain join; small buckets keep the cheap path.
+
+    ``max_bucket_size`` remains the optional SEMANTIC guard: buckets above
+    it are dropped entirely — at web scale million-member buckets are
+    template strings, not linkable entities, and even chunked enumeration
+    of 10^12 pairs is work that should not happen.
+    """
+    banded = band_signatures(mentions, num_hashes, bands)
+    # bucket granularity must match the join key: with same_label_only the
+    # self-join groups on (band, band_hash, label), so occupancy is counted
+    # per label too — otherwise a mixed-label bucket could be dropped even
+    # though each actual join group is small
+    bucket_cols = (
+        ["band", "band_hash", "label"]
+        if same_label_only
+        else ["band", "band_hash"]
     )
+    sizes = banded.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("_bucket_size")
+    )
+    if max_bucket_size is not None:
+        sizes = sizes.filter(F.col("_bucket_size") <= max_bucket_size)
+    # consumed by BOTH the small and the chunked branch below: materialize
+    # so signatures/bucket sizes compute once (shared-subplan re-execution)
+    banded = _materialize(banded.join(sizes, bucket_cols), eager=False)
+
+    eq = [
+        (F.col("l.band") == F.col("r.band")),
+        (F.col("l.band_hash") == F.col("r.band_hash")),
+    ]
+    if same_label_only:
+        eq.append(F.col("l.label") == F.col("r.label"))
+
+    # cheap path: whole bucket in one join group
+    small = banded.filter(F.col("_bucket_size") <= chunk_threshold)
+    l, r = small.alias("l"), small.alias("r")
+    cond = eq[0] & eq[1] & (F.col("l.mention_id") < F.col("r.mention_id"))
     if same_label_only:
         cond = cond & (F.col("l.label") == F.col("r.label"))
-    return (
-        l.join(r, cond)
-        .select(
-            F.col("l.mention_id").alias("id_a"),
-            F.col("r.mention_id").alias("id_b"),
-        )
-        .distinct()
+    pairs_small = l.join(r, cond).select(
+        F.col("l.mention_id").alias("id_a"),
+        F.col("r.mention_id").alias("id_b"),
     )
+
+    # chunked path: join key gains a chunk id, splitting the hot bucket
+    big = banded.filter(F.col("_bucket_size") > chunk_threshold)
+    g = F.pmod(F.xxhash64("mention_id"), F.lit(chunk_groups))
+    bl = (
+        big.withColumn("_lg", g)
+        .withColumn(
+            "_rg",
+            F.explode(F.sequence(F.col("_lg"), F.lit(chunk_groups - 1))),
+        )
+        .alias("l")
+    )
+    br = big.withColumn("_g", g).alias("r")
+    bcond = (
+        eq[0]
+        & eq[1]
+        & (F.col("l._rg") == F.col("r._g"))
+        & (
+            (F.col("l._lg") < F.col("r._g"))
+            | (F.col("l.mention_id") < F.col("r.mention_id"))
+        )
+    )
+    if same_label_only:
+        bcond = bcond & (F.col("l.label") == F.col("r.label"))
+    pairs_big = bl.join(br, bcond).select(
+        F.least("l.mention_id", "r.mention_id").alias("id_a"),
+        F.greatest("l.mention_id", "r.mention_id").alias("id_b"),
+    )
+
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def score_links(
@@ -300,6 +358,38 @@ def connected_components(
     return nodes.join(
         parent, nodes.id == parent.src, "left"
     ).select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def incremental_components(
+    assign: DataFrame, new_edges: DataFrame
+) -> DataFrame:
+    """Merge new edges into an existing (id, component) assignment.
+
+    An assignment is a star forest (every node points at its component's
+    min id), so connectivity of (old graph ∪ new edges) equals connectivity
+    of (star edges ∪ new edges) — the CC fixpoint re-runs over O(nodes)
+    star edges plus the delta, NOT the full historical edge set. Component
+    ids stay stable unless new edges merge clusters (the surviving id is
+    the smaller min, exactly as a full recompute would give), so downstream
+    canonicalization is identical to batch. This is what makes continuous
+    KG construction (streaming/kg_update.py) equivalent to rebuilding from
+    scratch every batch — proven in tests/test_kg_incremental.py.
+    """
+    star = assign.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    comp = connected_components(star.unionByName(new_edges))
+    # nodes absent from every edge (stable singletons) keep their id
+    ids = (
+        assign.select("id")
+        .union(new_edges.select(F.col("src").alias("id")))
+        .union(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    c = comp.withColumnRenamed("id", "cid")
+    return ids.join(c, ids.id == c.cid, "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
 

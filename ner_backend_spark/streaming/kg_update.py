@@ -1,0 +1,231 @@
+"""Continuous KG construction: micro-batches of entities merge into a
+persistent canonical assignment — equivalent to a from-scratch rebuild.
+
+The batch KG layer (spark/kg.py) is a one-shot pipeline. A Common-Crawl
+refresh feed needs the incremental form: each new crawl slice adds mentions
+and edges, and clusters must MERGE with what is already known, without
+re-scoring the full historical pair set. Three persistent tables under
+``base_dir`` make that possible:
+
+- ``mentions/batch=N``  append-only (mention_id, label, text, norm) —
+  a mention's identity is content-addressed (xxhash64 of label+text), so
+  appends are idempotent per batch id.
+- ``bands/batch=N``     append-only LSH banding. A mention's bands depend
+  only on its own surface (kg.band_signatures), so blocking NEW mentions
+  against ALL mentions is one join of the new bands against the stored
+  banding table — the historical side is never recomputed.
+- ``assign_vN``         the (id, component) star forest after batch N.
+  kg.incremental_components re-runs the CC fixpoint over O(nodes) star
+  edges + the batch's delta edges, not the historical edge set.
+
+Every pair the batch pipeline would propose is proposed here exactly once —
+when the later of its two mentions arrives, both bands are present — so the
+scored edge set over time equals the batch edge set, and min-id components
+make the final assignment identical to a full rebuild
+(tests/test_kg_incremental.py pins this equivalence).
+
+Crash safety: all three writes are keyed by batch id (overwrite of the same
+subdir on retry), so a foreachBatch redelivery after a crash is idempotent;
+the assignment pointer is "largest assign_vN present".
+
+Known divergence: with ``max_bucket_size`` set, the skew cap is evaluated
+against bucket occupancy AT ARRIVAL TIME — a bucket that later exceeds the
+cap keeps the pairs it produced while small, whereas a batch rebuild drops
+the whole bucket. The batch/incremental equivalence pinned by the tests
+holds for the uncapped configuration; treat the cap as a per-batch skew
+guard, not a global semantic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..spark.kg import (
+    alias_candidates,
+    band_signatures,
+    canonical_map,
+    extract_mentions,
+    incremental_components,
+    score_links,
+)
+
+_MENTION_SCHEMA = "mention_id long, label string, text string, norm string"
+_ASSIGN_SCHEMA = "id long, component long"
+
+
+class IncrementalKg:
+    """Stateful canonicalizer: feed entity micro-batches, read clusters."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        alias_df: DataFrame | None = None,
+        threshold: float = 0.5,
+        num_hashes: int = 15,
+        bands: int = 5,
+        max_bucket_size: int | None = None,
+    ):
+        self.spark = spark
+        self.base = base_dir.rstrip("/")
+        self.alias_df = alias_df
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.max_bucket_size = max_bucket_size
+        os.makedirs(self.base, exist_ok=True)
+
+    # -- state tables -------------------------------------------------------
+
+    def _read_or_empty(self, sub: str, schema: str) -> DataFrame:
+        path = f"{self.base}/{sub}"
+        if any(
+            d.startswith("batch=") for d in _ls(path)
+        ):
+            return self.spark.read.parquet(path).drop("batch")
+        return self.spark.createDataFrame([], schema)
+
+    def mentions(self) -> DataFrame:
+        return self._read_or_empty("mentions", _MENTION_SCHEMA)
+
+    def _latest_assign_version(self) -> int | None:
+        vs = [
+            int(d[len("assign_v"):])
+            for d in _ls(self.base)
+            if d.startswith("assign_v")
+        ]
+        return max(vs) if vs else None
+
+    def assignment(self) -> DataFrame:
+        v = self._latest_assign_version()
+        if v is None:
+            return self.spark.createDataFrame([], _ASSIGN_SCHEMA)
+        return self.spark.read.parquet(f"{self.base}/assign_v{v}")
+
+    # -- the per-batch update ------------------------------------------------
+
+    def process_batch(self, entities: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch of (url, label, text) entities.
+
+        Idempotent per batch_id: a redelivered batch overwrites its own
+        subdirs and recomputes the same assignment.
+        """
+        latest = self._latest_assign_version()
+        if latest is not None and latest >= batch_id:
+            return  # redelivery of an already-committed batch
+
+        known = self.mentions().select("mention_id")
+        new_m = extract_mentions(entities).join(known, "mention_id", "left_anti")
+        new_m.write.mode("overwrite").parquet(
+            f"{self.base}/mentions/batch={batch_id}"
+        )
+        # re-read: cuts lineage to the (possibly streaming-sourced) input and
+        # guarantees bands are computed over exactly what was committed
+        new_m = self.spark.read.parquet(
+            f"{self.base}/mentions/batch={batch_id}"
+        )
+        band_signatures(new_m, self.num_hashes, self.bands).write.mode(
+            "overwrite"
+        ).parquet(f"{self.base}/bands/batch={batch_id}")
+
+        all_bands = self._read_or_empty(
+            "bands", "mention_id long, label string, band int, band_hash int"
+        )
+        if self.max_bucket_size is not None:
+            sizes = all_bands.groupBy("band", "band_hash", "label").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            all_bands = all_bands.join(
+                sizes.filter(F.col("_n") <= self.max_bucket_size),
+                ["band", "band_hash", "label"],
+            ).drop("_n")
+        new_bands = self.spark.read.parquet(
+            f"{self.base}/bands/batch={batch_id}"
+        )
+        l, r = new_bands.alias("l"), all_bands.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.label") == F.col("r.label"))
+                & (F.col("l.mention_id") != F.col("r.mention_id")),
+            )
+            .select(
+                F.least("l.mention_id", "r.mention_id").alias("id_a"),
+                F.greatest("l.mention_id", "r.mention_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        all_mentions = self.mentions()
+        edges = score_links(pairs, all_mentions, self.threshold).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        if self.alias_df is not None:
+            alias_edges = alias_candidates(new_m, self.alias_df).select(
+                F.col("mention_id").alias("src"),
+                F.xxhash64(
+                    F.concat(F.lit("alias:"), "canonical_id")
+                ).alias("dst"),
+            )
+            edges = edges.unionByName(alias_edges)
+
+        seed = self.assignment().unionByName(
+            new_m.select(
+                F.col("mention_id").alias("id"),
+                F.col("mention_id").alias("component"),
+            )
+        )
+        incremental_components(seed, edges).write.mode("overwrite").parquet(
+            f"{self.base}/assign_v{batch_id}"
+        )
+
+    # -- read views ----------------------------------------------------------
+
+    def components(self) -> DataFrame:
+        """(id, component) for mentions only (virtual alias nodes hidden)."""
+        m = self.mentions().select(F.col("mention_id").alias("id"))
+        return m.join(self.assignment(), "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+
+    def canonical(self) -> DataFrame:
+        """(label, text, canonical) over everything merged so far."""
+        mentions = self.mentions()
+        hits = (
+            alias_candidates(mentions, self.alias_df)
+            if self.alias_df is not None
+            else None
+        )
+        return canonical_map(mentions, self.assignment(), hits)
+
+    # -- streaming attachment --------------------------------------------------
+
+    def attach(
+        self,
+        entities_stream: DataFrame,
+        checkpoint_path: str,
+        available_now: bool = True,
+    ) -> StreamingQuery:
+        """Drive the updater from a streaming entities DataFrame.
+
+        foreachBatch + the per-batch-id idempotency above gives effective
+        exactly-once state updates across restarts.
+        """
+        writer = entities_stream.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", checkpoint_path)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def _ls(path: str) -> list[str]:
+    try:
+        return os.listdir(path)
+    except FileNotFoundError:
+        return []

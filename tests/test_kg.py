@@ -136,3 +136,27 @@ def test_lsh_bucket_cap_counts_per_label(spark):
     assert capped == uncapped
     # cap=3 drops the oversized per-label groups entirely
     assert kg.lsh_candidate_pairs(mentions, max_bucket_size=3).count() == 0
+
+
+def test_chunked_pair_generation_equals_plain(spark):
+    """Hot-bucket chunked self-join proposes EXACTLY the plain join's pairs."""
+    rows = (
+        # template surfaces -> one giant trigram-similar bucket
+        [(f"u{i}", "EMAIL", f"user{i}@example.com") for i in range(300)]
+        # plus small organic clusters
+        + [("a", "ORG", "acme corp"), ("b", "ORG", "acme corp."),
+           ("c", "ORG", "initech")]
+    )
+    ents = spark.createDataFrame(rows, "url string, label string, text string")
+    mentions = kg.extract_mentions(ents)
+
+    def pairset(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in kg.lsh_candidate_pairs(mentions, **kw).collect()
+        }
+
+    plain = pairset(chunk_threshold=10**9)
+    chunked = pairset(chunk_threshold=16, chunk_groups=4)
+    assert chunked == plain
+    assert len(plain) > 1000  # the template bucket really is quadratic

@@ -1,0 +1,125 @@
+"""Incremental KG construction == batch rebuild, pinned.
+
+The core claims of streaming/kg_update.py:
+1. incremental_components over (star forest ∪ delta edges) equals batch CC
+   over the full edge set — including merges of previously-separate
+   clusters and stable singletons.
+2. Feeding the entity set in micro-batches through IncrementalKg yields the
+   SAME (id, component) assignment and canonical map as the one-shot batch
+   pipeline over the union — every LSH pair is proposed exactly once, when
+   the later mention arrives.
+3. Redelivered batches (foreachBatch crash/retry semantics) are no-ops.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_backend_spark.spark import kg
+from ner_backend_spark.streaming.kg_update import IncrementalKg
+
+ALIASES = [("acme corp", "ENT_ACME"), ("globex", "ENT_GLOBEX")]
+
+ENTITIES = [
+    # cluster A: similar surfaces (trigram Jaccard high)
+    ("u1", "ORG", "acme corp"),
+    ("u2", "ORG", "acme corp."),
+    ("u3", "ORG", "acme  corp"),
+    # cluster B via alias dictionary
+    ("u4", "ORG", "globex"),
+    ("u5", "ORG", "GLOBEX"),
+    # singletons
+    ("u6", "ORG", "initech"),
+    ("u7", "PER", "jane doe"),
+    ("u8", "PER", "jane d. doe"),
+]
+
+
+@pytest.fixture()
+def alias_df(spark):
+    return spark.createDataFrame(ALIASES, "surface string, canonical_id string")
+
+
+def _assign(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_incremental_components_merges_and_singletons(spark):
+    e1 = spark.createDataFrame([(10, 20), (30, 40)], "src long, dst long")
+    a1 = kg.connected_components(e1)
+    # singleton 99 tracked in the assignment but touching no edge
+    a1 = a1.union(spark.createDataFrame([(99, 99)], "id long, component long"))
+
+    # new edge merges the two clusters; 99 stays put
+    delta = spark.createDataFrame([(20, 30)], "src long, dst long")
+    got = _assign(kg.incremental_components(a1, delta))
+    full = kg.connected_components(
+        spark.createDataFrame([(10, 20), (30, 40), (20, 30)], "src long, dst long")
+    )
+    want = _assign(full) | {99: 99}
+    assert got == want
+
+
+def test_incremental_kg_equals_batch(spark, tmp_path, alias_df):
+    full = spark.createDataFrame(ENTITIES, "url string, label string, text string")
+    batch_components = _assign(
+        kg.mention_components(
+            kg.extract_mentions(full), alias_df, threshold=0.4
+        )
+    )
+    batch_canon = {
+        (r["label"], r["text"]): r["canonical"]
+        for r in kg.canonicalize(full, alias_df, threshold=0.4).collect()
+    }
+
+    inc = IncrementalKg(
+        spark, str(tmp_path / "kg"), alias_df=alias_df, threshold=0.4
+    )
+    # split so cluster A spans batches (u1 early, u2/u3 late -> merge case)
+    b0 = full.filter(F.col("url").isin("u1", "u4", "u6", "u7"))
+    b1 = full.filter(~F.col("url").isin("u1", "u4", "u6", "u7"))
+    inc.process_batch(b0, 0)
+    mid = _assign(inc.components())
+    assert len(mid) == 4  # 4 distinct surfaces so far
+    inc.process_batch(b1, 1)
+
+    assert _assign(inc.components()) == batch_components
+    got_canon = {
+        (r["label"], r["text"]): r["canonical"]
+        for r in inc.canonical().collect()
+    }
+    assert got_canon == batch_canon
+    # the dictionary collapsed case-variant globex mentions
+    assert got_canon[("ORG", "GLOBEX")] == "ENT_GLOBEX"
+
+
+def test_redelivered_batch_is_noop(spark, tmp_path, alias_df):
+    full = spark.createDataFrame(ENTITIES, "url string, label string, text string")
+    inc = IncrementalKg(
+        spark, str(tmp_path / "kg"), alias_df=alias_df, threshold=0.4
+    )
+    inc.process_batch(full.limit(4), 0)
+    before = _assign(inc.components())
+    inc.process_batch(full.limit(4), 0)  # foreachBatch retry
+    assert _assign(inc.components()) == before
+
+
+def test_streaming_attach_availablenow(spark, tmp_path, alias_df):
+    full = spark.createDataFrame(ENTITIES, "url string, label string, text string")
+    in_path = str(tmp_path / "in")
+    full.write.parquet(in_path)
+
+    inc = IncrementalKg(
+        spark, str(tmp_path / "kg"), alias_df=alias_df, threshold=0.4
+    )
+    stream = spark.readStream.schema(
+        "url string, label string, text string"
+    ).parquet(in_path)
+    q = inc.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = _assign(
+        kg.mention_components(
+            kg.extract_mentions(full), alias_df, threshold=0.4
+        )
+    )
+    assert _assign(inc.components()) == want
