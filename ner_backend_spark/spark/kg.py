@@ -287,11 +287,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     m = mins.select(
         "src", F.least(F.col("min_nbr"), F.col("src")).alias("m")
     )
+    # no trailing distinct: _small_star's leading distinct() dedups the
+    # oriented edges anyway — one shuffle per CC round saved (in the
+    # alternating large->small composition used by connected_components)
     return (
         sym.join(m, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 

@@ -115,6 +115,58 @@ def extract_image_features(
     return narrow.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("media", BinaryType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """(url, media, media_type, width, height): batched resize.
+
+    Real path: decode -> PIL resize -> re-encode. The stub emits a
+    deterministic content-derived byte payload of the RIGHT SIZE CLASS
+    (width*height/8 bytes — the compression-ratio ballpark of a real
+    re-encode) so partition-size planning downstream of a resize behaves
+    like production. Metadata columns are updated for real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = max(width * height // 8, 16)
+        for pdf in batches:
+            out = []
+            for data in pdf["media"].values:
+                if _HAS_PIL:
+                    raise NotImplementedError(
+                        "real decode available but not wired in this sandbox"
+                    )
+                digest = hashlib.blake2b(
+                    (data or b"") + width.to_bytes(4, "big")
+                    + height.to_bytes(4, "big"),
+                    digest_size=32,
+                ).digest()
+                out.append((digest * (n_out // 32 + 1))[:n_out])
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "media": out,
+                    "media_type": pdf["media_type"].values,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(media.select("url", "media", "media_type"))
+    return narrow.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """(url, frame_idx, frame): deterministic equal-stride byte windows.
 

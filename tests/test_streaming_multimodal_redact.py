@@ -174,3 +174,18 @@ def test_stream_entities_bucketed_layout(spark, tmp_path):
     ).count()
     assert bad == 0
     assert got.count() > 0
+
+
+def test_resize_images_plumbing(spark, media):
+    out = multimodal.resize_images(media, 16, 16).collect()
+    rows = {r["url"]: r for r in out}
+    assert set(rows) == {"m1", "m2", "m3"}
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 16)
+        assert len(r["media"]) == 32  # 16*16/8
+    # deterministic: content+target-size addressed
+    again = {r["url"]: bytes(r["media"])
+             for r in multimodal.resize_images(spark.createDataFrame(
+                 [("m1", b"\x01\x02\x03\x04" * 64, "image/png", 8, 8, None)],
+                 multimodal.MEDIA_SCHEMA), 16, 16).collect()}
+    assert again["m1"] == bytes(rows["m1"]["media"])
