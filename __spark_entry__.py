@@ -458,6 +458,28 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k-gram hashes -> sliding-window
+    minima): shared substrings of length >= k+window-1 guarantee a shared
+    fingerprint, making near-dup candidates an fp equi-join."""
+    from ner_backend_spark.flagship import WINNOW
+    from ner_backend_spark.spark.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", **WINNOW)
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pretokenizer counts (whole-stage codegen regex; the
+    LLM-training-budget analogue of whitespace token counting)."""
+    from ner_backend_spark.spark.textstats import add_bpe_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_bpe_tokens(docs).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash-bernoulli sample of documents: one
     scan, no shuffle, membership a pure function of (salt, doc_id) — stable
@@ -651,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triples": _q_kg_triples,
         "q_kg_components": _q_kg_components,
         "q_stratified_sample": _q_stratified_sample,
+        "q_bpe_tokens": _q_bpe_tokens,
+        "q_winnow_fingerprints": _q_winnow_fingerprints,
         "q_ivf_ann": _q_ivf_ann,
         "q_crf_pipeline": _q_crf_pipeline,
         "q_multimodal_features": _q_multimodal_features,
@@ -718,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
             "q_kg_triples",
             "q_kg_components",
             "q_stratified_sample",
+            "q_winnow_fingerprints",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —
@@ -833,6 +858,14 @@ def oracle_sql() -> dict[str, str]:
                    END AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_computed,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "q_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       regexp_extract_all(text,
+                         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+                       x -> trim(x) != '')) AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "q_quality_scores": """

@@ -88,6 +88,10 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
         "oracle_stratified_sample",
         pa.schema([("doc_id", _L), ("lang", _S)]),
     ),
+    "q_winnow_fingerprints": (
+        "oracle_winnow_fingerprints",
+        pa.schema([("doc_id", _L), ("fp", _L)]),
+    ),
 }
 
 

@@ -441,6 +441,23 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
+def oracle_winnow_fingerprints(sf_dir: str) -> list[tuple]:
+    """(doc_id, fp) — winnowing replica (spark/dedup.py winnow_fingerprints)
+    via the pinned murmur3 spark_hash over the same normalization."""
+    k, w = flagship.WINNOW["k"], flagship.WINNOW["window"]
+    rows = []
+    for doc_id, text in load_documents(sf_dir):
+        # Spark: regexp_replace(lower(trim(text)), '\s+', ' ') — trim strips
+        # spaces only; Java \s is ASCII whitespace
+        t = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+        n = max(len(t) - (k - 1), 1)
+        hashes = [spark_hash(t[i : i + k]) for i in range(n)]
+        nw = max(len(hashes) - (w - 1), 1)
+        fps = {min(hashes[j : j + w]) for j in range(nw)}
+        rows.extend((doc_id, fp) for fp in sorted(fps))
+    return rows
+
+
 def oracle_stratified_sample(sf_dir: str) -> list[tuple]:
     """(doc_id, lang) — hash-bernoulli membership via the xxhash64 replica
     (spark/sampling.py stratified_sample: keep iff

@@ -49,6 +49,47 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """(id, fp): winnowing document fingerprints (Schleimer et al., MOSS).
+
+    Rolling scheme, entirely JVM-side: hash every character k-gram of the
+    whitespace-normalized lowercase text, then keep the minimum of each
+    sliding window of ``window`` consecutive k-gram hashes, deduplicated.
+    Guarantees: any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint, so near-dup
+    candidates are a plain equi-join on fp — shuffle key granularity is a
+    single fingerprint value, never a document pair. Exploded long rows
+    keep the 100 TB path one groupBy away from an inverted index.
+    """
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    # TWO selects, deliberately: the window pass below references `hashes`
+    # twice (size + slice-per-window). Materialized as a column attribute,
+    # each row's k-gram hashes compute once; inlined into the lambda they
+    # would recompute per window — O(n^2) per document (CollapseProject
+    # keeps this boundary because the alias is non-cheap and multiply used).
+    with_hashes = df.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.hash(F.substring(t, i, k)),
+        ).alias("hashes"),
+    )
+    h = F.col("hashes")
+    n_windows = F.greatest(F.size(h) - F.lit(window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(h, j, window)),
+        )
+    )
+    return with_hashes.select(F.col(id_col), F.explode(fps).alias("_fp")).select(
+        id_col, F.col("_fp").cast("long").alias("fp")
+    )
+
+
 def _stable_hash32(token: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(token, digest_size=4).digest(), "big")
 

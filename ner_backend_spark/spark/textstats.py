@@ -106,6 +106,34 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer classes, lookahead-free so Java regex (Spark),
+# RE2 (DuckDB) and PCRE agree: contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace.
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: GPT-2 pretokenizer classes, pure-whitespace
+    matches excluded. Stays in whole-stage codegen (regexp_extract_all +
+    filter); the LLM-budget analogue of the whitespace token_count."""
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def add_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_bpe_tokens", bpe_token_count(F.col(text_col)))
+
+
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """fingerprint: md5 of whitespace-normalized lowercase text.
 

@@ -179,3 +179,27 @@ def test_fingerprint_normalization(spark):
     rows = {r["doc_id"]: r["fingerprint"] for r in textstats.add_fingerprint(df).collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k+window-1 share >=1 fingerprint;
+    unrelated docs (different alphabets) share none."""
+    from ner_backend_spark.spark.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAA " + shared + " BBB"),
+        (2, "xyz " + shared + " qrs"),
+        (3, "0123456789" * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    by_doc = {
+        r["doc_id"]: set(r["s"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("s"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2]      # shared substring -> shared fp
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])

@@ -77,3 +77,37 @@ def test_xxhash64_long_override_pinned_vs_spark(spark):
         spark_xxhash64("s", ("long", 123456789012)),
     ]
     assert got == want
+
+
+def test_stratified_sample_prunes_columns(spark, tmp_path):
+    """The sampler is a pure filter: scan reads only (doc_id, lang), and no
+    shuffle appears in the plan."""
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "text " * 50, ["en", "de"][i % 2]) for i in range(100)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5}, default_rate=0.1
+    ).select("doc_id", "lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+    assert "Exchange" not in plan
+
+
+def test_bpe_token_count_golden(spark):
+    from ner_backend_spark.spark.textstats import bpe_token_count
+    from pyspark.sql import functions as F2
+
+    rows = [
+        ("it's a test", 4),          # it / 's / a / test
+        ("hello, world!", 4),        # hello / , / world / !
+        ("a1b2", 4),                 # a / 1 / b / 2
+        ("  spaced   out  ", 2),
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r[0] for r in df.select(bpe_token_count(F2.col("text"))).collect()]
+    assert got == [n for _, n in rows]
