@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q_simhash_neardups",
     "q_kg_triples",
     "q_crf_pipeline",
+    "q_winnow_fingerprints",
+    "q_bpe_tokens",
 ]
 
 

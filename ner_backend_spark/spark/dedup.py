@@ -49,20 +49,127 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _murmur3_kgrams_numpy(data: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
+    """Signed-int32 Spark hash() of every k-byte window of ``data`` (uint8).
+
+    Vectorized Murmur3_x86_32.hashUnsafeBytes over all windows at once —
+    bit-identical to core.spark_hash.murmur3_bytes (pinned vs the JVM in
+    tests): LE 4-byte blocks, then SIGN-EXTENDED tail bytes, fmix(len=k).
+    """
+    w = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint32)
+    h1 = np.full(w.shape[0], seed, dtype=np.uint32)
+
+    def mix(h1, k1):
+        k1 = k1 * np.uint32(0xCC9E2D51)
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        k1 = k1 * np.uint32(0x1B873593)
+        h1 = h1 ^ k1
+        h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+        return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+    aligned = k - k % 4
+    for off in range(0, aligned, 4):
+        block = (
+            w[:, off]
+            | (w[:, off + 1] << np.uint32(8))
+            | (w[:, off + 2] << np.uint32(16))
+            | (w[:, off + 3] << np.uint32(24))
+        )
+        h1 = mix(h1, block)
+    for i in range(aligned, k):
+        b = w[:, i].astype(np.uint8).view(np.int8).astype(np.int32)
+        h1 = mix(h1, b.view(np.uint32))
+    h1 = h1 ^ np.uint32(k)
+    h1 ^= h1 >> np.uint32(16)
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 ^= h1 >> np.uint32(13)
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    h1 ^= h1 >> np.uint32(16)
+    return h1.view(np.int32)
+
+
+def _winnow_fps_py(text: str, k: int, window: int) -> np.ndarray:
+    """Distinct winnowing fingerprints of one document (int64)."""
+    import re as _re
+
+    from ..core.spark_hash import murmur3_bytes, _signed32
+
+    norm = _re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+    if len(norm) < k:
+        # expression form: substring(t, 1, k) of a short string = the string
+        return np.array(
+            [_signed32(murmur3_bytes(norm.encode("utf-8"), 42))], dtype=np.int64
+        )
+    if norm.isascii():
+        hashes = _murmur3_kgrams_numpy(
+            np.frombuffer(norm.encode(), dtype=np.uint8), k
+        )
+    else:
+        # char windows != byte windows outside ASCII: scalar per window
+        hashes = np.array(
+            [
+                _signed32(murmur3_bytes(norm[i : i + k].encode("utf-8"), 42))
+                for i in range(len(norm) - k + 1)
+            ],
+            dtype=np.int32,
+        )
+    if len(hashes) <= window:
+        return np.unique(hashes.min(keepdims=True)).astype(np.int64)
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+    return np.unique(mins).astype(np.int64)
+
+
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, fp): winnowing document fingerprints (Schleimer et al., MOSS).
 
-    Rolling scheme, entirely JVM-side: hash every character k-gram of the
-    whitespace-normalized lowercase text, then keep the minimum of each
-    sliding window of ``window`` consecutive k-gram hashes, deduplicated.
-    Guarantees: any shared substring of length >= k + window - 1 between
-    two documents yields at least one shared fingerprint, so near-dup
-    candidates are a plain equi-join on fp — shuffle key granularity is a
-    single fingerprint value, never a document pair. Exploded long rows
-    keep the 100 TB path one groupBy away from an inverted index.
+    Rolling scheme: hash every character k-gram of the whitespace-normalized
+    lowercase text, then keep the minimum of each sliding window of
+    ``window`` consecutive k-gram hashes, deduplicated. Guarantees: any
+    shared substring of length >= k + window - 1 between two documents
+    yields at least one shared fingerprint, so near-dup candidates are a
+    plain equi-join on fp — shuffle key granularity is a single fingerprint
+    value, never a document pair. Exploded long rows keep the 100 TB path
+    one groupBy away from an inverted index.
+
+    ``impl="arrow"`` (default): vectorized numpy Murmur3 over Arrow batches
+    — ~40x the interpreted-HOF expression form (2.8 ms/doc -> Âµs), bit-
+    identical output (pinned in tests). ``impl="expr"`` keeps the pure
+    column-expression form (no Python anywhere) for environments where that
+    matters more than the constant factor.
     """
+    if impl == "arrow":
+        from typing import Iterator
+
+        import pandas as pd
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {id_type}, fp long"
+
+        def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                ids, fps = [], []
+                for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
+                    u = _winnow_fps_py(text, k, window)
+                    ids.extend([doc_id] * len(u))
+                    fps.append(u)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "fp": np.concatenate(fps) if fps else np.array([], dtype=np.int64),
+                    }
+                )
+
+        from .session import ensure_parallelism
+
+        narrow = ensure_parallelism(df.select(id_col, text_col))
+        return narrow.mapInPandas(run, out_schema)
     t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     # TWO selects, deliberately: the window pass below references `hashes`

@@ -203,3 +203,27 @@ def test_winnow_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2]      # shared substring -> shared fp
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_arrow_kernel_matches_expression(spark):
+    """The vectorized numpy murmur3 kernel is bit-identical to the pure
+    column-expression form, including short docs and non-ASCII text."""
+    from ner_backend_spark.spark.dedup import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 20),
+        (2, "ab"),                      # shorter than k
+        (3, ""),                        # empty
+        (4, "héllo wörld — ünïcode test " * 5),   # non-ASCII slow path
+        (5, "  Mixed   CASE \t and\nwhitespace  " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df, "doc_id", "text", impl="expr").collect()
+    }
+    arrow = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df, "doc_id", "text", impl="arrow").collect()
+    }
+    assert arrow == expr
