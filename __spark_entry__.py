@@ -469,6 +469,18 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "doc_id", "text", **WINNOW)
 
 
+def _q_winnow_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via the winnowing inverted index: fp equi-join +
+    stop-fingerprint cap; shuffle moves postings, never document pairs."""
+    from ner_backend_spark.flagship import WINNOW, WINNOW_NEARDUP
+    from ner_backend_spark.spark.dedup import winnow_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_near_duplicates(
+        docs, "doc_id", "text", **WINNOW, **WINNOW_NEARDUP
+    ).withColumn("n_shared", F.col("n_shared").cast("long"))
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-2-style pretokenizer counts (whole-stage codegen regex; the
     LLM-training-budget analogue of whitespace token counting)."""
@@ -675,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_bpe_tokens": _q_bpe_tokens,
         "q_winnow_fingerprints": _q_winnow_fingerprints,
+        "q_winnow_neardups": _q_winnow_neardups,
         "q_ivf_ann": _q_ivf_ann,
         "q_crf_pipeline": _q_crf_pipeline,
         "q_multimodal_features": _q_multimodal_features,
@@ -743,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
             "q_kg_components",
             "q_stratified_sample",
             "q_winnow_fingerprints",
+            "q_winnow_neardups",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —

@@ -42,6 +42,7 @@ IVF_ANN = dict(dim=64, k=5, n_centroids=16, nprobe=4, kmeans_iters=5, sample_siz
 NEARDUP_LSH = dict(threshold=0.3, dim=64, n_planes=6, tables=8)
 MULTIMODAL_DIM = 16
 WINNOW = dict(k=5, window=4)
+WINNOW_NEARDUP = dict(min_shared=5, max_postings=64)
 # Deterministic hash-bernoulli stratified sampling over documents.lang
 # (spark/sampling.py; membership is a pure function of (salt, doc_id)).
 STRATIFIED_SAMPLE = dict(

@@ -92,6 +92,10 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
         "oracle_winnow_fingerprints",
         pa.schema([("doc_id", _L), ("fp", _L)]),
     ),
+    "q_winnow_neardups": (
+        "oracle_winnow_neardups",
+        pa.schema([("id_a", _L), ("id_b", _L), ("n_shared", _L)]),
+    ),
 }
 
 

@@ -458,6 +458,28 @@ def oracle_winnow_fingerprints(sf_dir: str) -> list[tuple]:
     return rows
 
 
+def oracle_winnow_neardups(sf_dir: str) -> list[tuple]:
+    """(id_a, id_b, n_shared) — posting-list replica of
+    spark/dedup.py winnow_near_duplicates over the fingerprint rows."""
+    cfg = flagship.WINNOW_NEARDUP
+    postings: dict[int, list[int]] = defaultdict(list)
+    for doc_id, fp in oracle_winnow_fingerprints(sf_dir):
+        postings[fp].append(doc_id)
+    pair_counts: dict[tuple[int, int], int] = defaultdict(int)
+    for ids in postings.values():
+        if len(ids) > cfg["max_postings"]:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair_counts[(ids[i], ids[j])] += 1
+    return sorted(
+        (a, b, n)
+        for (a, b), n in pair_counts.items()
+        if n >= cfg["min_shared"]
+    )
+
+
 def oracle_stratified_sample(sf_dir: str) -> list[tuple]:
     """(doc_id, lang) — hash-bernoulli membership via the xxhash64 replica
     (spark/sampling.py stratified_sample: keep iff

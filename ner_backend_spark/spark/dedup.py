@@ -197,6 +197,40 @@ def winnow_fingerprints(
     )
 
 
+def winnow_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 5,
+    max_postings: int = 256,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): doc pairs sharing >= min_shared fingerprints.
+
+    The inverted-index formulation: fingerprints are the join key, so the
+    shuffle moves (fp, id) postings, never document pairs. ``max_postings``
+    drops stop-fingerprints (an fp shared by m docs emits O(m^2) pairs in
+    one join group — boilerplate shared by everything, standard winnowing
+    practice to discard), the same skew rule as the KG bucket cap.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_postings"))
+    fps = (
+        fps.join(sizes.filter(F.col("_postings") <= max_postings), "fp")
+        .drop("_postings")
+    )
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _stable_hash32(token: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(token, digest_size=4).digest(), "big")
 

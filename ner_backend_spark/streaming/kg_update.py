@@ -38,6 +38,7 @@ guard, not a global semantic.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,43 @@ class IncrementalKg:
         self.bands = bands
         self.max_bucket_size = max_bucket_size
         os.makedirs(self.base, exist_ok=True)
+        self._check_lineage()
+
+    def _check_lineage(self) -> None:
+        """Pin tuning params (and the alias dictionary) to the state dir.
+
+        Resuming with different LSH/banding/threshold parameters would mix
+        bands computed under one scheme with bands under another — a silent
+        hybrid, the failure class checkpoint_kg guards against. Refuse it.
+        """
+        alias_fp = None
+        if self.alias_df is not None:
+            import hashlib
+
+            rows = sorted(tuple(r) for r in self.alias_df.collect())
+            alias_fp = hashlib.md5(
+                json.dumps(rows, sort_keys=True).encode()
+            ).hexdigest()
+        params = {
+            "threshold": self.threshold,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "max_bucket_size": self.max_bucket_size,
+            "alias_fp": alias_fp,
+        }
+        path = f"{self.base}/params.json"
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+            if stored != params:
+                raise ValueError(
+                    "IncrementalKg state at %s was built with different "
+                    "parameters: stored=%s, requested=%s — use a fresh "
+                    "base_dir or the original parameters" % (self.base, stored, params)
+                )
+        else:
+            with open(path, "w") as f:
+                json.dump(params, f)
 
     # -- state tables -------------------------------------------------------
 
@@ -180,9 +218,24 @@ class IncrementalKg:
                 F.col("mention_id").alias("component"),
             )
         )
-        incremental_components(seed, edges).write.mode("overwrite").parquet(
+        assign = incremental_components(seed, edges)
+        assign.write.mode("overwrite").parquet(
             f"{self.base}/assign_v{batch_id}"
         )
+        # counter metrics, recomputed from committed state (idempotent, like
+        # the batch checkpointers): read back what was written, never keep
+        # driver-side running counters
+        committed = self.spark.read.parquet(f"{self.base}/assign_v{batch_id}")
+        metrics = {
+            "batch_id": batch_id,
+            "n_new_mentions": self.spark.read.parquet(
+                f"{self.base}/mentions/batch={batch_id}"
+            ).count(),
+            "n_nodes": committed.count(),
+            "n_components": committed.select("component").distinct().count(),
+        }
+        with open(f"{self.base}/metrics_v{batch_id}.json", "w") as f:
+            json.dump(metrics, f)
 
     # -- read views ----------------------------------------------------------
 

@@ -123,3 +123,30 @@ def test_streaming_attach_availablenow(spark, tmp_path, alias_df):
         )
     )
     assert _assign(inc.components()) == want
+
+
+def test_param_lineage_refuses_mismatch(spark, tmp_path, alias_df):
+    full = spark.createDataFrame(ENTITIES, "url string, label string, text string")
+    base = str(tmp_path / "kg")
+    inc = IncrementalKg(spark, base, alias_df=alias_df, threshold=0.4)
+    inc.process_batch(full.limit(3), 0)
+    # same params -> fine (fresh instance, same state dir)
+    IncrementalKg(spark, base, alias_df=alias_df, threshold=0.4)
+    with pytest.raises(ValueError, match="different"):
+        IncrementalKg(spark, base, alias_df=alias_df, threshold=0.6)
+    with pytest.raises(ValueError, match="different"):
+        IncrementalKg(spark, base, alias_df=None, threshold=0.4)
+
+
+def test_batch_metrics_written(spark, tmp_path, alias_df):
+    import json as _json
+
+    full = spark.createDataFrame(ENTITIES, "url string, label string, text string")
+    base = str(tmp_path / "kg")
+    inc = IncrementalKg(spark, base, alias_df=alias_df, threshold=0.4)
+    inc.process_batch(full, 0)
+    with open(f"{base}/metrics_v0.json") as f:
+        m = _json.load(f)
+    assert m["n_new_mentions"] == 8
+    assert m["n_nodes"] >= 8  # mentions + alias virtual nodes
+    assert 0 < m["n_components"] < m["n_nodes"]
