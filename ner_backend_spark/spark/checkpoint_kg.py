@@ -160,21 +160,23 @@ class CheckpointedKgRunner:
         run_id = str(uuid.uuid4())
         prior = _read_checkpoint_rows(self.spark, self.base_path)
         done = {r["stage"] for r in prior}
+        # entities feeds the fingerprint, the mentions stage and the triples
+        # stage — persist so a lazy upstream (the NER tagger) runs once
+        entities = entities.persist()
         # Resume safety: refuse to graft new-parameter stages onto outputs
         # computed under different parameters OR a different input dataset —
         # either would be a silent cross-run hybrid presented as a clean run.
+        # Compare only keys present in BOTH (a lineage written before a new
+        # key existed must stay resumable, not be unconditionally refused).
         params = self._lineage_params()
         params["input_fp"] = self._input_fingerprint(entities)
         for r in prior:
-            recorded = {
-                k: v
-                for k, v in json.loads(r["lineage"]).items()
-                if k in params
-            }
-            if recorded and recorded != params:
+            recorded = json.loads(r["lineage"])
+            shared = {k: recorded[k] for k in params if k in recorded}
+            if shared and shared != {k: params[k] for k in shared}:
                 raise ValueError(
                     f"checkpoint at {self.base_path} was written with "
-                    f"{recorded}, current run uses {params}; clear "
+                    f"{shared}, current run uses {params}; clear "
                     f"{self.base_path}/kg_checkpoints (and kg/) or match them"
                 )
         lineage = json.dumps({"run_id": run_id, **params})
@@ -260,6 +262,7 @@ class CheckpointedKgRunner:
             self._commit("triples", has, run_id, t0, lineage)
             ran.append("triples")
 
+        entities.unpersist()
         return {"run_id": run_id, "stages_run": ran, "stages_skipped": sorted(done)}
 
 

@@ -41,7 +41,18 @@ def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        # reliable checkpoint RECOMPUTES the lineage in a second job to
+        # write the checkpoint files unless the data is persisted (the
+        # documented Spark caveat) — persist first so the expensive
+        # upstream (NER tagger, LSH self-join, CC rounds) runs once, and
+        # drop the cache once the checkpoint has fully materialized
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)
 
 
@@ -197,8 +208,6 @@ def lsh_candidate_pairs(
         (F.col("l.band") == F.col("r.band")),
         (F.col("l.band_hash") == F.col("r.band_hash")),
     ]
-    if same_label_only:
-        eq.append(F.col("l.label") == F.col("r.label"))
 
     # cheap path: whole bucket in one join group
     small = banded.filter(F.col("_bucket_size") <= chunk_threshold)

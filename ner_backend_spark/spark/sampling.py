@@ -102,16 +102,28 @@ def compact(
     total_bytes = _table_bytes(df)
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + "__compact_tmp"
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        # hash-distribute on the partition columns: every partition value
+        # lands in exactly ONE task, so each directory gets one file — a
+        # plain round-robin repartition would scatter every partition's
+        # rows across all tasks and write n_files files into EVERY
+        # directory (more fragments than before compacting)
+        writer = (
+            df.repartition(n_files, *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(tmp)
-    # atomic-ish swap via the filesystem (sandbox: local fs rename)
+    # swap via rename-aside so a crash can't destroy the only copy
     import shutil
 
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__compact_old"
+    shutil.move(path, old)
     shutil.move(tmp, path)
-    return n_files
+    shutil.rmtree(old)
+    return len(spark.read.parquet(path).inputFiles())
 
 
 def _table_bytes(df: DataFrame) -> int:

@@ -119,16 +119,23 @@ class IncrementalKg:
 
     # -- state tables -------------------------------------------------------
 
-    def _read_or_empty(self, sub: str, schema: str) -> DataFrame:
+    def _read_or_empty(
+        self, sub: str, schema: str, exclude_batch: int | None = None
+    ) -> DataFrame:
         path = f"{self.base}/{sub}"
         if any(
             d.startswith("batch=") for d in _ls(path)
         ):
-            return self.spark.read.parquet(path).drop("batch")
+            df = self.spark.read.parquet(path)
+            if exclude_batch is not None:
+                df = df.filter(F.col("batch") != exclude_batch)
+            return df.drop("batch")
         return self.spark.createDataFrame([], schema)
 
-    def mentions(self) -> DataFrame:
-        return self._read_or_empty("mentions", _MENTION_SCHEMA)
+    def mentions(self, exclude_batch: int | None = None) -> DataFrame:
+        return self._read_or_empty(
+            "mentions", _MENTION_SCHEMA, exclude_batch=exclude_batch
+        )
 
     def _latest_assign_version(self) -> int | None:
         vs = [
@@ -152,11 +159,14 @@ class IncrementalKg:
         Idempotent per batch_id: a redelivered batch overwrites its own
         subdirs and recomputes the same assignment.
         """
-        latest = self._latest_assign_version()
-        if latest is not None and latest >= batch_id:
-            return  # redelivery of an already-committed batch
+        if os.path.exists(f"{self.base}/assign_v{batch_id}"):
+            return  # this exact batch already committed (assign is the marker)
 
-        known = self.mentions().select("mention_id")
+        # dedup against OTHER batches only: a redelivery after a crash that
+        # wrote mentions/batch=N but not assign_vN must not anti-join against
+        # its own partial write (that would overwrite batch=N with an empty
+        # table and silently drop the mentions forever)
+        known = self.mentions(exclude_batch=batch_id).select("mention_id")
         new_m = extract_mentions(entities).join(known, "mention_id", "left_anti")
         new_m.write.mode("overwrite").parquet(
             f"{self.base}/mentions/batch={batch_id}"
@@ -267,8 +277,27 @@ class IncrementalKg:
         """Drive the updater from a streaming entities DataFrame.
 
         foreachBatch + the per-batch-id idempotency above gives effective
-        exactly-once state updates across restarts.
+        exactly-once state updates across restarts — PROVIDED batch ids are
+        monotone for this state dir, which Structured Streaming guarantees
+        per checkpoint location. A different checkpoint restarts ids at 0
+        and would collide with committed assign_vN markers, so the state
+        dir is bound to its first checkpoint path and other paths refused.
         """
+        marker = f"{self.base}/stream_checkpoint.json"
+        norm = os.path.abspath(checkpoint_path)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                stored = json.load(f)["checkpoint_path"]
+            if stored != norm:
+                raise ValueError(
+                    "IncrementalKg state at %s is bound to stream checkpoint "
+                    "%s; attaching with %s would restart batch ids and drop "
+                    "batches — use the original checkpoint or a fresh "
+                    "base_dir" % (self.base, stored, norm)
+                )
+        else:
+            with open(marker, "w") as f:
+                json.dump({"checkpoint_path": norm}, f)
         writer = entities_stream.writeStream.foreachBatch(
             lambda df, bid: self.process_batch(df, bid)
         ).option("checkpointLocation", checkpoint_path)

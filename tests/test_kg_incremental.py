@@ -150,3 +150,43 @@ def test_batch_metrics_written(spark, tmp_path, alias_df):
     assert m["n_new_mentions"] == 8
     assert m["n_nodes"] >= 8  # mentions + alias virtual nodes
     assert 0 < m["n_components"] < m["n_nodes"]
+
+
+def test_crash_redelivery_does_not_lose_mentions(spark, tmp_path, alias_df):
+    """A retry after a crash between the mentions write and the assign
+    commit must reprocess the batch, not anti-join against its own partial
+    write (which would overwrite the batch with an empty table)."""
+    full = spark.createDataFrame(ENTITIES, "url string, label string, text string")
+    base = str(tmp_path / "kg")
+    inc = IncrementalKg(spark, base, alias_df=alias_df, threshold=0.4)
+    inc.process_batch(full.limit(4), 0)
+
+    # simulate batch 1 crashing after its mentions write: write the
+    # partial subdir, but no assign_v1
+    b1 = full.filter(~F.col("url").isin("u1", "u2", "u3", "u4"))
+    kg.extract_mentions(b1).write.mode("overwrite").parquet(
+        f"{base}/mentions/batch=1"
+    )
+    # redelivery
+    inc.process_batch(b1, 1)
+    got = _assign(inc.components())
+    want = _assign(
+        kg.mention_components(
+            kg.extract_mentions(full.limit(4).union(b1)), alias_df, threshold=0.4
+        )
+    )
+    assert got == want
+
+
+def test_attach_refuses_foreign_checkpoint(spark, tmp_path, alias_df):
+    full = spark.createDataFrame(ENTITIES, "url string, label string, text string")
+    in_path = str(tmp_path / "in")
+    full.write.parquet(in_path)
+    inc = IncrementalKg(spark, str(tmp_path / "kg"), alias_df=alias_df, threshold=0.4)
+    stream = spark.readStream.schema(
+        "url string, label string, text string"
+    ).parquet(in_path)
+    q = inc.attach(stream, str(tmp_path / "ckpt_a"))
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="bound to stream checkpoint"):
+        inc.attach(stream, str(tmp_path / "ckpt_b"))

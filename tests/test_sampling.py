@@ -111,3 +111,22 @@ def test_bpe_token_count_golden(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
     got = [r[0] for r in df.select(bpe_token_count(F2.col("text"))).collect()]
     assert got == [n for _, n in rows]
+
+
+def test_compact_partitioned_one_file_per_dir(spark, docs, tmp_path):
+    import os
+
+    path = str(tmp_path / "part")
+    docs.repartition(12).write.partitionBy("lang").parquet(path)
+    # fragmented: 12 files per lang dir
+    assert len(spark.read.parquet(path).inputFiles()) > 3
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n = sampling.compact(spark, path, target_mb=512, partition_cols=["lang"])
+    assert n == 3  # one file per lang directory
+    for lang in ("en", "de", "zh"):
+        files = [
+            f for f in os.listdir(os.path.join(path, f"lang={lang}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
