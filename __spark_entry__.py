@@ -28,7 +28,7 @@ from ner_backend_spark.flagship import (  # noqa: E402
     MULTIMODAL_DIM,
     NEARDUP_LSH,
     SEARCH_QUERY,
-    SIMHASH_MAX_HAMMING,
+    SIMHASH,
 )
 
 
@@ -637,9 +637,7 @@ def _q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(
-        docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
-    )
+    return simhash_near_duplicates(docs, "doc_id", "text", **SIMHASH)
 
 
 def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

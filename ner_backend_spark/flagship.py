@@ -35,8 +35,19 @@ KG_THRESHOLD = 0.5
 # (measured: 48k pages -> 165M candidate pairs, KG 4->16-core efficiency
 # 0.44). The oracle (pyoracle._kg_state) applies the same rule.
 KG_MAX_BUCKET = 512
-MINHASH = dict(threshold=0.5, num_hashes=64, bands=16, shingle_k=3)
-SIMHASH_MAX_HAMMING = 8
+# Near-dup entry points carry the same degenerate-bucket cap rule as
+# KG_MAX_BUCKET: buckets above the cap are boilerplate surfaces whose
+# O(m^2) pair output would serialize into one task at web scale.
+MINHASH = dict(
+    threshold=0.5, num_hashes=64, bands=16, shingle_k=3, max_bucket_size=1024
+)
+# radius 3 with Manku-style permuted-block tables (10 tables, ~25-bit keys)
+# — the standard web-near-dup operating point (Manku et al. WWW'07 used
+# k=3 over 8B pages). Radius 8 with exhaustive recall cannot keep usable
+# key widths on 64-bit fingerprints (keys would need >= 13 blocks and
+# C(13,5)=1287 tables), so it is no longer the flagship config; the
+# generalized simhash_blocking still accepts any radius explicitly.
+SIMHASH = dict(max_hamming=3, max_bucket_size=1024)
 LSH_ANN = dict(dim=64, k=5, tables=4, n_planes=8, probe_hamming=1)
 IVF_ANN = dict(dim=64, k=5, n_centroids=16, nprobe=4, kmeans_iters=5, sample_size=4096)
 NEARDUP_LSH = dict(threshold=0.3, dim=64, n_planes=6, tables=8)

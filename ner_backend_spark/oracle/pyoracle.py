@@ -43,7 +43,7 @@ from ..spark.dedup import (
     _MERSENNE,
     _minhash_params,
     _word_shingles,
-    simhash_chunk_bounds,
+    simhash_blocking,
 )
 from ..spark.multimodal import _fake_features
 from ..spark.similarity import _centroids, _hyperplanes, _kmeans_refine, probe_masks
@@ -191,8 +191,11 @@ def oracle_minhash_neardups(sf_dir: str) -> list[tuple]:
             chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
             buckets[(band, spark_hash_long_array(chunk.tolist()))].append(doc_id)
 
+    cap = p.get("max_bucket_size")
     pairs: set[tuple[int, int]] = set()
     for ids in buckets.values():
+        if cap is not None and len(ids) > cap:
+            continue  # degenerate bucket, same rule as lsh_candidate_pairs
         ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -223,20 +226,34 @@ def simhash64(text: str) -> int:
     return sim - (1 << 64) if sim >= (1 << 63) else sim
 
 
+def simhash_table_key(u: int, blocks: list[tuple[int, int]]) -> int:
+    """Concatenated-block key, mirroring dedup._table_key_expr bit-exact."""
+    key = 0
+    for off, width in blocks:
+        mask = (1 << width) - 1 if width < 64 else (1 << 64) - 1
+        key = ((key << width) | ((u >> off) & mask)) & ((1 << 64) - 1)
+    return key - (1 << 64) if key >= (1 << 63) else key
+
+
 def oracle_simhash_neardups(sf_dir: str) -> list[tuple]:
-    """(id_a, id_b, hamming) — replicates simhash_near_duplicates."""
-    max_hamming = flagship.SIMHASH_MAX_HAMMING
-    bounds = simhash_chunk_bounds(max_hamming)
+    """(id_a, id_b, hamming) — replicates simhash_near_duplicates with the
+    flagship permuted-block tables and degenerate-bucket cap."""
+    p = flagship.SIMHASH
+    max_hamming = p["max_hamming"]
+    cap = p.get("max_bucket_size")
+    tables = simhash_blocking(max_hamming)
     sigs = {
         int(doc_id): simhash64(text) for doc_id, text in load_documents(sf_dir)
     }
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
     for doc_id, sim in sigs.items():
         u = sim & ((1 << 64) - 1)
-        for idx, (off, width) in enumerate(bounds):
-            buckets[(idx, (u >> off) & ((1 << width) - 1))].append(doc_id)
+        for idx, blocks in enumerate(tables):
+            buckets[(idx, simhash_table_key(u, blocks))].append(doc_id)
     pairs: set[tuple[int, int]] = set()
     for ids in buckets.values():
+        if cap is not None and len(ids) > cap:
+            continue
         ids = sorted(ids)
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

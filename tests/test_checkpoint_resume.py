@@ -200,3 +200,31 @@ def test_kg_resume_rejects_parameter_mismatch(spark, tmp_path):
     # matching parameters resume fine
     res = CheckpointedKgRunner(spark, base, threshold=0.5).run(ents)
     assert res["stages_skipped"] == ["mentions"]
+
+
+def test_throughput_metrics_latest_attempt_wins(spark, tmp_path):
+    """Two COMPLETED attempts for one partition with different counters:
+    every counter must come from the max-end_ts attempt, never a mix
+    (F.last was partition-order-dependent; fixed with max_by)."""
+    import time
+
+    from ner_backend_spark.spark.checkpoint import CHECKPOINT_SCHEMA
+
+    base = str(tmp_path / "report")
+    now = time.time()
+    rows = [
+        # partition 0: attempt 1 then attempt 2 (later end_ts, new counters)
+        (0, "COMPLETED", "run-a", now, now + 10.0, 100, 5, 1000, "l1"),
+        (0, "COMPLETED", "run-b", now + 20.0, now + 30.0, 120, 7, 1200, "l2"),
+        # partition 1: single attempt
+        (1, "COMPLETED", "run-a", now, now + 5.0, 10, 1, 100, "l1"),
+    ]
+    spark.createDataFrame(rows, CHECKPOINT_SCHEMA).coalesce(1).write.parquet(
+        f"{base}/checkpoints"
+    )
+    m = throughput_metrics(spark, base)
+    assert m["n_docs"] == 120 + 10
+    assert m["n_entities"] == 7 + 1
+    assert m["n_tokens"] == 1200 + 100
+    assert m["wall_seconds"] == pytest.approx(30.0)
+    assert m["n_succeeded_buckets"] == 2

