@@ -181,69 +181,81 @@ def pages_df_distributed(
     )
 
     def gen(batches):
-        weights = [1.0 / (i + 1) for i in range(n_domains)]
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                rng = random.Random((SEED << 32) ^ int(i))
-                domain = (
-                    f"site{rng.choices(range(n_domains), weights=weights)[0]}"
-                    ".example"
-                )
-                sentences = rng.choices(_FILLER_SENTENCES, k=rng.randint(3, 12))
-                if rng.random() < 0.6:
-                    sentences.insert(
-                        rng.randrange(len(sentences) + 1),
-                        rng.choice(_PII_SNIPPETS),
-                    )
-                # Bounded-cardinality entity surfaces (≈2k distinct emails,
-                # ≈1k phones, ≈500 urls across any n): gives the KG layer a
-                # real mention graph — repeated surfaces across pages, plus a
-                # near-identical .alt variant per email so linking has true
-                # positives. Name prefixes keep DIFFERENT ids dissimilar
-                # (diverse LSH buckets); an all-templated surface set would
-                # collapse into one giant bucket, which is a skew pathology,
-                # not a workload.
-                # entity cardinality grows with corpus size (each surface
-                # repeats on ~120 pages on average), like real web data
-                # surface_scale multiplies distinct-surface cardinality at
-                # a fixed page count (bench_scaling's mention-scale knob:
-                # more distinct mentions -> more rows per CC round)
-                if rng.random() < 0.5:
-                    uid = int(i) % (max(2000, n // 120) * surface_scale)
-                    name = _EMAIL_NAMES[uid % len(_EMAIL_NAMES)]
-                    sentences.append(
-                        f"Reach {name}.{uid}@example.com or the backup "
-                        f"{name}.{uid}.alt@example.com today."
-                    )
-                if rng.random() < 0.3:
-                    p = int(i) % (max(1000, n // 240) * surface_scale)
-                    sentences.append(
-                        f"Hotline 555-{p % 900 + 100:03d}-{(p * 7) % 10000:04d} "
-                        "is open around the clock."
-                    )
-                if rng.random() < 0.2:
-                    s = int(i) % (max(500, n // 480) * surface_scale)
-                    slug = _URL_SLUGS[s % len(_URL_SLUGS)]
-                    sentences.append(
-                        f"Details at https://kb.example.org/{slug}/{s}."
-                    )
-                text = " ".join(sentences)
-                ts = _EPOCH + dt.timedelta(seconds=int(i) * 37)
-                rows.append(
-                    (
-                        f"https://{domain}/page/{int(i)}",
-                        ts.replace(tzinfo=None),
-                        text.encode("utf-8"),
-                        text,
-                        "en",
-                    )
-                )
+            rows = [
+                distributed_row(int(i), n, n_domains, surface_scale)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema)
+
+
+def distributed_row(
+    i: int, n: int, n_domains: int = 12, surface_scale: int = 1
+) -> tuple:
+    """Row ``i`` of the ``n``-row distributed pages table — a pure function
+    of (SEED, i, n, n_domains, surface_scale), shared by the Spark kernel
+    (pages_df_distributed) and the pure-Python oracle twin
+    (generate_rows_distributed) so both sides see identical bytes."""
+    weights = [1.0 / (d + 1) for d in range(n_domains)]
+    rng = random.Random((SEED << 32) ^ i)
+    domain = (
+        f"site{rng.choices(range(n_domains), weights=weights)[0]}.example"
+    )
+    sentences = rng.choices(_FILLER_SENTENCES, k=rng.randint(3, 12))
+    if rng.random() < 0.6:
+        sentences.insert(
+            rng.randrange(len(sentences) + 1), rng.choice(_PII_SNIPPETS)
+        )
+    # Bounded-cardinality entity surfaces (≈2k distinct emails,
+    # ≈1k phones, ≈500 urls across any n): gives the KG layer a
+    # real mention graph — repeated surfaces across pages, plus a
+    # near-identical .alt variant per email so linking has true
+    # positives. Name prefixes keep DIFFERENT ids dissimilar
+    # (diverse LSH buckets); an all-templated surface set would
+    # collapse into one giant bucket, which is a skew pathology,
+    # not a workload.
+    # entity cardinality grows with corpus size (each surface
+    # repeats on ~120 pages on average), like real web data.
+    # surface_scale multiplies distinct-surface cardinality at
+    # a fixed page count (bench_scaling's mention-scale knob:
+    # more distinct mentions -> more rows per CC round)
+    if rng.random() < 0.5:
+        uid = i % (max(2000, n // 120) * surface_scale)
+        name = _EMAIL_NAMES[uid % len(_EMAIL_NAMES)]
+        sentences.append(
+            f"Reach {name}.{uid}@example.com or the backup "
+            f"{name}.{uid}.alt@example.com today."
+        )
+    if rng.random() < 0.3:
+        p = i % (max(1000, n // 240) * surface_scale)
+        sentences.append(
+            f"Hotline 555-{p % 900 + 100:03d}-{(p * 7) % 10000:04d} "
+            "is open around the clock."
+        )
+    if rng.random() < 0.2:
+        s = i % (max(500, n // 480) * surface_scale)
+        slug = _URL_SLUGS[s % len(_URL_SLUGS)]
+        sentences.append(f"Details at https://kb.example.org/{slug}/{s}.")
+    text = " ".join(sentences)
+    ts = _EPOCH + dt.timedelta(seconds=i * 37)
+    return (
+        f"https://{domain}/page/{i}",
+        ts.replace(tzinfo=None),
+        text.encode("utf-8"),
+        text,
+        "en",
+    )
+
+
+def generate_rows_distributed(
+    n: int, n_domains: int = 12, surface_scale: int = 1
+) -> list[tuple]:
+    """Pure-Python twin of pages_df_distributed (oracle duty)."""
+    return [distributed_row(i, n, n_domains, surface_scale) for i in range(n)]
 
 
 def integration_pages_df(spark: SparkSession) -> DataFrame:

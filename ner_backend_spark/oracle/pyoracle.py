@@ -120,7 +120,8 @@ def oracle_merged_model(sf_dir: str) -> list[tuple]:
 def oracle_presidio_pages(sf_dir: str) -> list[tuple]:
     from .. import fixtures
 
-    pages = [(r[0], r[3]) for r in fixtures.generate_rows(n=200)]
+    n = flagship.sf_page_count(sf_dir)
+    pages = [(r[0], r[3]) for r in fixtures.generate_rows_distributed(n)]
     rows = []
     for url, res in _run_config(pages, flagship.presidio_config()):
         for e in res.entities:
