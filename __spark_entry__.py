@@ -492,6 +492,16 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merge-based BPE (trained byte-level vocab, core/bpe.py): exact
+    token counts + md5 over the id sequence, Arrow-batched. q_bpe_tokens
+    stays the codegen pretokenizer-count approximation."""
+    from ner_backend_spark.spark.textstats import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, "doc_id", "text")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash-bernoulli sample of documents: one
     scan, no shuffle, membership a pure function of (salt, doc_id) — stable
@@ -688,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_components": _q_kg_components,
         "q_stratified_sample": _q_stratified_sample,
         "q_bpe_tokens": _q_bpe_tokens,
+        "q_bpe_encode": _q_bpe_encode,
         "q_winnow_fingerprints": _q_winnow_fingerprints,
         "q_winnow_neardups": _q_winnow_neardups,
         "q_ivf_ann": _q_ivf_ann,
@@ -759,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
             "q_stratified_sample",
             "q_winnow_fingerprints",
             "q_winnow_neardups",
+            "q_bpe_encode",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "q_crf_pipeline",
     "q_winnow_fingerprints",
     "q_bpe_tokens",
+    "q_bpe_encode",
     "q_presidio_pages",
 ]
 

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "7"
+ORACLE_VERSION = "8"
 
 _S = pa.string()
 _L = pa.int64()
@@ -95,6 +95,10 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_winnow_neardups": (
         "oracle_winnow_neardups",
         pa.schema([("id_a", _L), ("id_b", _L), ("n_shared", _L)]),
+    ),
+    "q_bpe_encode": (
+        "oracle_bpe_encode",
+        pa.schema([("doc_id", _L), ("n_bpe_tokens", _L), ("ids_hash", _S)]),
     ),
 }
 

@@ -498,6 +498,24 @@ def oracle_winnow_neardups(sf_dir: str) -> list[tuple]:
     )
 
 
+def oracle_bpe_encode(sf_dir: str) -> list[tuple]:
+    """(doc_id, n_bpe_tokens, ids_hash) — the trained byte-level BPE vocab
+    (core/bpe.default_vocab) applied single-threaded, md5 over the int64
+    token-id bytes exactly like spark/textstats.bpe_encode."""
+    import numpy as np
+
+    from ..core.bpe import default_vocab
+
+    vocab = default_vocab()
+    rows = []
+    for doc_id, text in load_documents(sf_dir):
+        ids = np.asarray(vocab.encode(text or ""), dtype=np.int64)
+        rows.append(
+            (int(doc_id), len(ids), hashlib.md5(ids.tobytes()).hexdigest())
+        )
+    return rows
+
+
 def oracle_stratified_sample(sf_dir: str) -> list[tuple]:
     """(doc_id, lang) — hash-bernoulli membership via the xxhash64 replica
     (spark/sampling.py stratified_sample: keep iff

@@ -1,6 +1,7 @@
 """Text analysis operators: token counts, quality scores, language ID,
-document fingerprints. All JVM-side (built-in functions, codegen-friendly);
-no Python in any of these paths.
+document fingerprints. All JVM-side (built-in functions, codegen-friendly)
+except :func:`bpe_encode`, the exact merge-based BPE path, which is an
+Arrow-batched kernel by necessity.
 """
 
 from __future__ import annotations
@@ -132,6 +133,47 @@ def bpe_token_count(text: Column) -> Column:
 
 def add_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_bpe_tokens", bpe_token_count(F.col(text_col)))
+
+
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 384
+) -> DataFrame:
+    """(id, n_bpe_tokens, ids_hash): REAL merge-based BPE encoding.
+
+    Applies the trained byte-level vocabulary (core/bpe.py; fixture-corpus
+    merges, deterministic everywhere) in an Arrow-batched kernel.
+    ``ids_hash`` is md5 over the int64 token-id bytes — a hashable scalar
+    that pins the full id sequence under the driver's value-hash gate.
+    ``bpe_token_count`` remains the pure-codegen pretokenizer COUNT
+    approximation; this is the exact-count + sequence path.
+    """
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..core.bpe import default_vocab
+
+    vocab = default_vocab(n_merges)  # pickles as merges; ranks rebuilt per worker
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bpe_tokens long, ids_hash string"
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ns, hs = [], []
+            for text in pdf[text_col].values:
+                ids = np.asarray(vocab.encode(text or ""), dtype=np.int64)
+                ns.append(len(ids))
+                hs.append(hashlib.md5(ids.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "n_bpe_tokens": ns, "ids_hash": hs}
+            )
+
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(df.select(id_col, text_col))
+    return narrow.mapInPandas(run, schema)
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
