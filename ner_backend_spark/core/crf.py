@@ -56,11 +56,14 @@ class CRF:
         dp = np.empty((seq_len, n), dtype=np.float32)
         bp = np.zeros((seq_len, n), dtype=np.int64)
         dp[0] = emissions[0] + self.start_probs
+        cols = np.arange(n)
         for t in range(1, seq_len):
-            # scores[prev, curr] = dp[t-1, prev] + transitions[prev, curr]
+            # scores[prev, curr] = dp[t-1, prev] + transitions[prev, curr];
+            # one argmax + gather instead of argmax + max (same result)
             scores = dp[t - 1][:, None] + self.transitions
-            bp[t] = scores.argmax(axis=0)
-            dp[t] = scores.max(axis=0) + emissions[t]
+            am = scores.argmax(axis=0)
+            bp[t] = am
+            dp[t] = scores[am, cols] + emissions[t]
         dp[-1] += self.end_probs
         seq = [0] * seq_len
         seq[-1] = int(dp[-1].argmax())
@@ -124,6 +127,25 @@ class WhitespaceSubwordTokenizer:
         return offsets
 
 
+class BpeTokenizer:
+    """Trained byte-level BPE subword tokenizer (core/bpe.py), offset-
+    aligned: the real-subword analogue of the reference's Qwen BPE
+    (onnx.go:205-217). Satisfies the sorted/non-overlapping offsets
+    contract get_word_ids requires."""
+
+    def __init__(self, vocab=None):
+        if vocab is None:
+            from .bpe import default_vocab
+
+            vocab = default_vocab()
+        self.vocab = vocab
+
+    def tokenize_with_offsets(self, text: bytes) -> list[tuple[int, int]]:
+        return [
+            (s, e) for _, s, e in self.vocab.encode_bytes_with_offsets(text)
+        ]
+
+
 class HashEmissionModel:
     """Deterministic emissions: tag logits from a salted hash of the token
     bytes. Stands in for the CNN (weights not shippable; see module doc)."""
@@ -154,6 +176,23 @@ class CnnCrfModel:
 
     @staticmethod
     def from_params(params: dict) -> "CnnCrfModel":
+        if params.get("emissions") == "trained":
+            # learned path (SURVEY §7.3(5)): softmax-trained hashed-feature
+            # emissions + bigram-derived transitions from the committed
+            # artifact, BPE subword tokenization
+            from .crf_train import TrainedEmissionModel, load_artifact
+
+            art = load_artifact()
+            crf = CRF(
+                transitions=art["transitions"],
+                start_probs=art["start_probs"],
+                end_probs=art["end_probs"],
+            )
+            return CnnCrfModel(
+                crf,
+                emission_model=TrainedEmissionModel(art["weights"]),
+                tokenizer=BpeTokenizer(),
+            )
         t = np.asarray(params["transitions"], dtype=np.float32)
         crf = CRF(
             transitions=t,

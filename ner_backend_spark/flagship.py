@@ -86,23 +86,16 @@ def ner_pipeline_config():
 
 
 def crf_config():
-    """Deterministic CNN+CRF config penalizing transitions into O."""
-    from .core.crf import IDX2TAG, O_INDEX
+    """CNN+CRF config on the TRAINED path: softmax-trained hashed-feature
+    emissions + bigram transitions from the committed artifact
+    (core/crf_train.py), BPE subword tokenization. The hash-stub emission
+    path remains available via explicit transitions params (goldens)."""
+    from .core.crf import IDX2TAG
     from .spark.tagger import ReportConfig
 
-    n = len(IDX2TAG)
-    transitions = [[0.0] * n for _ in range(n)]
-    for row in transitions:
-        row[O_INDEX] = -4.0
-    start = [0.0] * n
-    start[O_INDEX] = -4.0
     return ReportConfig.make(
         model_type="cnn_crf",
-        model_params={
-            "transitions": transitions,
-            "start_probs": start,
-            "end_probs": [0.0] * n,
-        },
+        model_params={"emissions": "trained"},
         tags=set(IDX2TAG),
     )
 

@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
@@ -324,13 +324,18 @@ def lsh_candidate_pairs(
         ).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_bucket_size")
+        # window count, not groupBy+join: one shuffle on the bucket key
+        # (spill-bounded even for a pathological bucket), then materialize
+        # once — the l/r aliases of the self-join would otherwise each
+        # recompute the windowed subplan (no ReusedExchange across the
+        # differing projections; same pitfall as the signature reuse above)
+        w = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_size") <= max_bucket_size)
+            .drop("_bucket_size")
+            .localCheckpoint(eager=False)
         )
-        banded = banded.join(
-            sizes.filter(F.col("_bucket_size") <= max_bucket_size),
-            ["band", "band_hash"],
-        ).drop("_bucket_size")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -614,13 +619,15 @@ def simhash_near_duplicates(
         ).alias("table_idx", "key"),
     )
     if max_bucket_size is not None:
-        sizes = keyed.groupBy("table_idx", "key").agg(
-            F.count(F.lit(1)).alias("_bucket_size")
+        # same one-shuffle window-count cap + materialize-once as
+        # lsh_candidate_pairs
+        w = Window.partitionBy("table_idx", "key")
+        keyed = (
+            keyed.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_size") <= max_bucket_size)
+            .drop("_bucket_size")
+            .localCheckpoint(eager=False)
         )
-        keyed = keyed.join(
-            sizes.filter(F.col("_bucket_size") <= max_bucket_size),
-            ["table_idx", "key"],
-        ).drop("_bucket_size")
     left = keyed.alias("l")
     right = keyed.alias("r")
     cand = (

@@ -115,3 +115,29 @@ def test_write_triples_via_sink_default(spark, tmp_path):
     kg.write_triples(triples, path, n_buckets=2)
     assert os.path.isdir(tmp_path / "triples" / "pred=HAS_EMAIL")
     assert spark.read.parquet(path).count() == 2
+
+
+def test_iceberg_writer_v2_plan_builds_without_catalog(spark):
+    """VERDICT r2 "Next round" #9 (CI-lite drop-in check): IcebergSink must
+    construct the full DataFrameWriterV2 plan — writeTo(table).using(
+    'iceberg').partitionedBy(<native transforms>) — and fail only at
+    CATALOG RESOLUTION, never earlier (a lowering bug would raise before
+    analysis: bad transform name, invalid Column, wrong arity)."""
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "en")],
+        "url string, ts string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("ts")).drop("ts")
+    sink = sinks.IcebergSink("no_such_catalog.ns")
+    spec = (sinks.bucket(64, "url"), sinks.days("warc_ts"), sinks.identity("lang"))
+    with pytest.raises(Exception) as exc:
+        sink.write(df, "pages", spec=spec, mode="append")
+    msg = str(exc.value)
+    # the failure must be the missing catalog/table — proof the V2 plan
+    # passed construction and reached resolution
+    assert "no_such_catalog" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg, msg
+
+
+def test_iceberg_writer_v2_rejects_unknown_mode(spark):
+    df = spark.range(1).withColumnRenamed("id", "url")
+    with pytest.raises(ValueError):
+        sinks.IcebergSink("c.ns").write(df, "t", mode="merge")
