@@ -45,6 +45,9 @@ LEVELS = [
 # table is in, which is what the KG-efficiency claim must be evidenced under
 # (VERDICT r1 "Next round" #10).
 MENTION_SCALE = int(os.environ.get("SPARK_SCALING_MENTION_SCALE", "1"))
+# Tagger under test: presidio (default) or cnn_crf (the trained-emissions
+# path — different kernel profile: BPE tokenize + feature hashing + Viterbi)
+MODEL = os.environ.get("SPARK_SCALING_MODEL", "presidio")
 GEN_PARTITIONS = 128  # fixed task granularity at every level
 DATA_DIR = os.environ.get(
     "SPARK_SCALING_DATA",
@@ -93,12 +96,17 @@ def run_level(cores: int) -> dict:
     generate(spark)
 
     pages = spark.read.parquet(DATA_DIR).select("url", "text")
-    config = ReportConfig.make(
-        model_type="presidio",
-        custom_tags={"custom_token": r"a1b2c3"},
-        groups={"has_email": "COUNT(EMAIL) > 0"},
-        build_previews=False,
-    )
+    if MODEL == "cnn_crf":
+        config = ReportConfig.make(
+            model_type="cnn_crf", model_params={"emissions": "trained"}
+        )
+    else:
+        config = ReportConfig.make(
+            model_type="presidio",
+            custom_tags={"custom_token": r"a1b2c3"},
+            groups={"has_email": "COUNT(EMAIL) > 0"},
+            build_previews=False,
+        )
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -188,7 +196,8 @@ def main() -> None:
         "core_ratio": ratio,
         "n_pages": N_PAGES,
         "mention_scale": MENTION_SCALE,
-        "job": "presidio NER pipeline (pages->entities), noop-forced;"
+        "model": MODEL,
+        "job": f"{MODEL} NER pipeline (pages->entities), noop-forced;"
         " kg_* fields: full pages->entities->triples pipeline",
     }
     print(json.dumps(report))
@@ -197,6 +206,8 @@ def main() -> None:
         if MENTION_SCALE == 1
         else f"SCALING_m{MENTION_SCALE}.json"
     )
+    if MODEL != "presidio":
+        name = f"SCALING_{MODEL}.json"
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(report, f, indent=2)
 

@@ -71,6 +71,65 @@ class CRF:
             seq[t - 1] = int(bp[t][seq[t]])
         return seq
 
+    def viterbi_decode_batch(
+        self, emissions_list: list[np.ndarray], chunk: int = 512
+    ) -> list[list[int]]:
+        """Decode many sequences at once: pad to the chunk's max length and
+        run the time loop over [B, T, T] tensors — B times fewer numpy
+        dispatches than per-sequence decoding, bit-identical paths (same
+        op order and first-index argmax tie-breaking; pinned in tests).
+        ``chunk`` bounds the padded workspace (B*L*T floats). Sequences are
+        decoded in length order so each chunk pads to its own max length
+        (unsorted chunks waste ~2x on the typical length spread), then
+        results return in input order."""
+        order = sorted(range(len(emissions_list)), key=lambda i: len(emissions_list[i]))
+        out: list[list[int]] = [[] for _ in emissions_list]
+        for lo in range(0, len(order), chunk):
+            idxs = order[lo : lo + chunk]
+            for i, path in zip(
+                idxs, self._decode_chunk([emissions_list[i] for i in idxs])
+            ):
+                out[i] = path
+        return out
+
+    def _decode_chunk(self, ems: list[np.ndarray]) -> list[list[int]]:
+        n = self.num_tags
+        b_size = len(ems)
+        if b_size == 0:
+            return []
+        lens = [len(e) for e in ems]
+        max_len = max(lens)
+        if max_len == 0:
+            return [[] for _ in ems]
+        E = np.zeros((b_size, max_len, n), dtype=np.float32)
+        for b, e in enumerate(ems):
+            if len(e):
+                E[b, : len(e)] = e
+        dp_hist = np.empty((b_size, max_len, n), dtype=np.float32)
+        bp = np.zeros((b_size, max_len, n), dtype=np.int32)
+        dp = E[:, 0] + self.start_probs
+        dp_hist[:, 0] = dp
+        trans = self.transitions[None]
+        for t in range(1, max_len):
+            scores = dp[:, :, None] + trans  # [B, prev, curr]
+            am = scores.argmax(axis=1)
+            best = np.take_along_axis(scores, am[:, None, :], axis=1)[:, 0]
+            dp = best + E[:, t]
+            bp[:, t] = am
+            dp_hist[:, t] = dp
+        out: list[list[int]] = []
+        for b, sl in enumerate(lens):
+            if sl == 0:
+                out.append([])
+                continue
+            final = dp_hist[b, sl - 1] + self.end_probs
+            seq = [0] * sl
+            seq[-1] = int(final.argmax())
+            for t in range(sl - 1, 0, -1):
+                seq[t - 1] = int(bp[b, t][seq[t]])
+            out.append(seq)
+        return out
+
 
 def get_word_ids(
     word_offsets: list[tuple[int, int]],
@@ -201,14 +260,13 @@ class CnnCrfModel:
         )
         return CnnCrfModel(crf)
 
-    def predict(self, text: bytes) -> list[Entity]:
+    def _prepare(self, text: bytes):
+        """clean + split + tokenize: (clean_to_orig, [(sent, sent_off,
+        word_offsets, token_offsets), ...]) — the pre-Viterbi phase."""
         cleaned, orig_spans, clean_spans = clean_text_with_spans(text)
         sentences, sent_offsets = split_text_custom_length(cleaned, 100)
-
-        # map cleaned word spans back to original spans (parallel arrays)
         clean_to_orig = dict(zip(clean_spans, orig_spans))
-
-        entities: list[Entity] = []
+        infos = []
         for sent, sent_off in zip(sentences, sent_offsets):
             word_offsets = [
                 (cs - sent_off, ce - sent_off)
@@ -218,8 +276,17 @@ class CnnCrfModel:
             token_offsets = self.tokenizer.tokenize_with_offsets(sent)
             if not token_offsets:
                 continue
-            em = self.emission_model.emissions(sent, token_offsets)
-            path = self.crf.viterbi_decode(em)
+            infos.append((sent, sent_off, word_offsets, token_offsets))
+        return clean_to_orig, infos
+
+    def _assemble(
+        self, text: bytes, clean_to_orig, infos, paths
+    ) -> list[Entity]:
+        """Viterbi paths -> word tags -> original-offset entity spans."""
+        entities: list[Entity] = []
+        for (sent, sent_off, word_offsets, token_offsets), path in zip(
+            infos, paths
+        ):
             tags = [IDX2TAG[p] if p < len(IDX2TAG) else "O" for p in path]
             word_ids = get_word_ids(word_offsets, token_offsets)
             word_tags = aggregate_predictions(tags, word_ids, len(word_offsets))
@@ -232,3 +299,36 @@ class CnnCrfModel:
                     continue
                 entities.append(create_entity(tag, text, orig[0], orig[1]))
         return entities
+
+    def predict(self, text: bytes) -> list[Entity]:
+        clean_to_orig, infos = self._prepare(text)
+        paths = [
+            self.crf.viterbi_decode(
+                self.emission_model.emissions(sent, token_offsets)
+            )
+            for sent, _off, _wo, token_offsets in infos
+        ]
+        return self._assemble(text, clean_to_orig, infos, paths)
+
+    def predict_batch(self, texts: list[bytes]) -> list[list[Entity]]:
+        """Batch decode: all sentences of all documents go through ONE
+        padded-tensor Viterbi pass (viterbi_decode_batch) instead of a
+        numpy dispatch per time step per sentence. Bit-identical entities
+        to per-document predict (pinned in tests) — the Arrow kernel calls
+        this so the model sees whole batches, like the reference's 16-text
+        gRPC batching (internal/core/python/model.go:176-215), but the
+        single-doc path and the oracle keep the simple loop."""
+        prepared = [self._prepare(t) for t in texts]
+        ems = [
+            self.emission_model.emissions(sent, token_offsets)
+            for _c2o, infos in prepared
+            for sent, _off, _wo, token_offsets in infos
+        ]
+        paths = self.crf.viterbi_decode_batch(ems)
+        out: list[list[Entity]] = []
+        pos = 0
+        for text, (clean_to_orig, infos) in zip(texts, prepared):
+            doc_paths = paths[pos : pos + len(infos)]
+            pos += len(infos)
+            out.append(self._assemble(text, clean_to_orig, infos, doc_paths))
+        return out

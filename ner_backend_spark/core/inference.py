@@ -144,12 +144,22 @@ def run_inference_on_object(
     custom_tags: dict[str, re.Pattern],
     group_filters: dict[str, object] | None = None,
     build_previews: bool = True,
+    precomputed_entities: list[Entity] | None = None,
 ) -> InferenceResult:
-    """Full per-document pipeline (processor.go:565-686), single chunk."""
+    """Full per-document pipeline (processor.go:565-686), single chunk.
+
+    ``precomputed_entities`` lets a batch caller supply the RAW model
+    output (e.g. from CnnCrfModel.predict_batch) — everything downstream
+    (filtering, tag selection, coalescing) runs identically either way.
+    """
     result = InferenceResult()
     tb = text.encode("utf-8")
 
-    chunk_entities = model.predict(tb)
+    chunk_entities = (
+        precomputed_entities
+        if precomputed_entities is not None
+        else model.predict(tb)
+    )
     chunk_entities = filter_entities(tb, chunk_entities)
 
     label_to_entities: dict[str, list[Entity]] = {}

@@ -24,7 +24,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
@@ -324,17 +324,22 @@ def lsh_candidate_pairs(
         ).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
-        # window count, not groupBy+join: one shuffle on the bucket key
-        # (spill-bounded even for a pathological bucket), then materialize
-        # once — the l/r aliases of the self-join would otherwise each
-        # recompute the windowed subplan (no ReusedExchange across the
-        # differing projections; same pitfall as the signature reuse above)
-        w = Window.partitionBy("band", "band_hash")
-        banded = (
-            banded.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_size") <= max_bucket_size)
+        # Cap as a broadcast ANTI-join against only the OVERSIZED keys:
+        # bucket sizes come from a partial-aggregating groupBy (distinct
+        # keys shuffle, never rows), the oversized set is tiny by
+        # construction (<= rows/cap keys, and degenerate buckets are the
+        # pathology, not the norm), and the banded rows themselves never
+        # take an extra shuffle for the cap. If a corpus really produced
+        # millions of oversized buckets, raise the cap or pre-filter the
+        # boilerplate rather than broadcasting that set.
+        oversized = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bucket_size"))
+            .filter(F.col("_bucket_size") > max_bucket_size)
             .drop("_bucket_size")
-            .localCheckpoint(eager=False)
+        )
+        banded = banded.join(
+            F.broadcast(oversized), ["band", "band_hash"], "left_anti"
         )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -610,6 +615,9 @@ def simhash_near_duplicates(
     (same skew rule as the KG and winnowing caps).
     """
     sigs = simhash_signatures(df, id_col, text_col)
+    # one kernel pass: the plan references sigs up to 4x (size agg, anti
+    # left, and both self-join sides) — (id, simhash) is 16 bytes/doc
+    sigs = sigs.localCheckpoint(eager=False)
     tables = simhash_blocking(max_hamming, n_blocks)
     keyed = sigs.select(
         "id",
@@ -619,14 +627,16 @@ def simhash_near_duplicates(
         ).alias("table_idx", "key"),
     )
     if max_bucket_size is not None:
-        # same one-shuffle window-count cap + materialize-once as
-        # lsh_candidate_pairs
-        w = Window.partitionBy("table_idx", "key")
-        keyed = (
-            keyed.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_size") <= max_bucket_size)
+        # same broadcast-anti-join-of-oversized-keys cap as
+        # lsh_candidate_pairs (see the rationale there)
+        oversized = (
+            keyed.groupBy("table_idx", "key")
+            .agg(F.count(F.lit(1)).alias("_bucket_size"))
+            .filter(F.col("_bucket_size") > max_bucket_size)
             .drop("_bucket_size")
-            .localCheckpoint(eager=False)
+        )
+        keyed = keyed.join(
+            F.broadcast(oversized), ["table_idx", "key"], "left_anti"
         )
     left = keyed.alias("l")
     right = keyed.alias("r")

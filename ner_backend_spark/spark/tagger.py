@@ -123,6 +123,13 @@ def _compiled_state(config: ReportConfig):
 
 def _run_batch(pdf: pd.DataFrame, config: ReportConfig) -> pd.DataFrame:
     model, tags, custom, group_filters = _compiled_state(config)
+    texts = [t if t is not None else "" for t in pdf["text"].values]
+    # models exposing predict_batch (CnnCrfModel) decode the whole Arrow
+    # batch in one padded-tensor Viterbi pass; output is bit-identical to
+    # the per-doc path the oracle runs (pinned in test_crf_trained)
+    pre: list | None = None
+    if hasattr(model, "predict_batch"):
+        pre = model.predict_batch([t.encode("utf-8") for t in texts])
     out = {
         "url": [],
         "total_tokens": [],
@@ -131,14 +138,15 @@ def _run_batch(pdf: pd.DataFrame, config: ReportConfig) -> pd.DataFrame:
         "preview_tokens": [],
         "preview_tags": [],
     }
-    for url, text in zip(pdf["url"].values, pdf["text"].values):
+    for i, (url, text) in enumerate(zip(pdf["url"].values, texts)):
         res = run_inference_on_object(
-            text if text is not None else "",
+            text,
             model,
             tags,
             custom,
             group_filters,
             build_previews=config.build_previews,
+            precomputed_entities=pre[i] if pre is not None else None,
         )
         out["url"].append(url)
         out["total_tokens"].append(res.total_tokens)

@@ -126,3 +126,36 @@ def test_retrain_reproduces_artifact():
     disk = load_artifact()
     for k, v in fresh.items():
         assert np.array_equal(disk[k], v), f"stale artifact array {k}"
+
+
+def test_viterbi_batch_matches_sequential():
+    """viterbi_decode_batch must be bit-identical to per-sequence decode,
+    including argmax tie-breaking (integer emissions force exact ties)."""
+    import numpy as np
+
+    from ner_backend_spark.core.crf import CRF
+
+    rng = np.random.RandomState(5)
+    t = 7
+    crf = CRF(
+        transitions=rng.randint(-2, 3, size=(t, t)).astype(np.float32),
+        start_probs=rng.randint(-2, 3, size=t).astype(np.float32),
+        end_probs=rng.randint(-2, 3, size=t).astype(np.float32),
+    )
+    ems = [
+        rng.randint(-3, 4, size=(rng.randint(1, 40), t)).astype(np.float32)
+        for _ in range(60)
+    ] + [np.zeros((0, t), dtype=np.float32)]
+    batch = crf.viterbi_decode_batch(ems, chunk=16)
+    seq = [crf.viterbi_decode(e) for e in ems]
+    assert batch == seq
+
+
+def test_predict_batch_matches_predict(model):
+    texts = [
+        " ".join(w for w, _ in s).encode("utf-8")
+        for s in generate_labeled_sentences(40, seed=31)
+    ] + [b"", b"   ", b"one"]
+    batch = model.predict_batch(texts)
+    for text, ents in zip(texts, batch):
+        assert ents == model.predict(text)
