@@ -566,10 +566,12 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # feat_hash (md5 of the float32 feature bytes) stands in for the raw
     # array column: deterministic, hashable for driver-side canonicalizers;
-    # the array path stays covered by pytest.
-    return extract_image_features(media, dim=MULTIMODAL_DIM).select(
-        "url", "n_bytes", "feat_hash"
-    )
+    # the array path stays covered by pytest. use_codec is PINNED False:
+    # the materialized oracle hashes the stub features, and the driver-gate
+    # result must not depend on whether this environment has Pillow.
+    return extract_image_features(
+        media, dim=MULTIMODAL_DIM, use_codec=False
+    ).select("url", "n_bytes", "feat_hash")
 
 
 def _q_merged_model(spark: SparkSession, sf_dir: str) -> DataFrame:

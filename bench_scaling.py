@@ -97,9 +97,9 @@ def run_level(cores: int) -> dict:
 
     pages = spark.read.parquet(DATA_DIR).select("url", "text")
     if MODEL == "cnn_crf":
-        config = ReportConfig.make(
-            model_type="cnn_crf", model_params={"emissions": "trained"}
-        )
+        from ner_backend_spark.flagship import crf_config
+
+        config = crf_config()  # trained path WITH the full tag vocabulary
     else:
         config = ReportConfig.make(
             model_type="presidio",

@@ -164,19 +164,23 @@ class BpeVocab:
         """
         try:
             text = data.decode("utf-8")
+            enc = "utf-8"
         except UnicodeDecodeError:
             text = data.decode("latin-1")
-        # prefix byte lengths: char index -> byte offset
+            enc = "latin-1"  # byte-transparent: 1 char == 1 source byte
+        # prefix byte lengths in the SOURCE encoding: char idx -> byte offset
+        # (mixing latin-1 decode with utf-8 lengths would drift every span
+        # after the first non-ASCII byte and overrun the input)
         byte_off = [0]
         for ch in text:
-            byte_off.append(byte_off[-1] + len(ch.encode("utf-8")))
+            byte_off.append(byte_off[-1] + len(ch.encode(enc)))
         out: list[tuple[int, int, int]] = []
         for m in _PRETOKEN_RE.finditer(text):
             pt = m.group(0)
             if not pt.strip():
                 continue
             pos = byte_off[m.start()]
-            for sym in self._encode_pretoken(pt.encode("utf-8")):
+            for sym in self._encode_pretoken(pt.encode(enc)):
                 out.append((self.token_ids[sym], pos, pos + len(sym)))
                 pos += len(sym)
         return out

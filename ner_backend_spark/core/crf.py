@@ -260,6 +260,13 @@ class CnnCrfModel:
         )
         return CnnCrfModel(crf)
 
+    def get_tags(self) -> list[str]:
+        """Model vocabulary (minus O) — lets _compiled_state default the
+        report's tag selection to the full vocabulary when a config omits
+        tags, like PresidioModel. Without this, a tag-less cnn_crf config
+        silently filtered every prediction out."""
+        return [t for t in IDX2TAG if t != "O"]
+
     def _prepare(self, text: bytes):
         """clean + split + tokenize: (clean_to_orig, [(sent, sent_off,
         word_offsets, token_offsets), ...]) — the pre-Viterbi phase."""

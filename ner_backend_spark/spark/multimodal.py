@@ -125,8 +125,13 @@ def extract_image_features(
 
     ``use_codec=None`` resolves to whether Pillow is importable on the
     driver; the resolved boolean is captured in the closure so driver and
-    executors agree. Payloads the codec can't decode (or any environment
-    where it can't import) fall back to the deterministic stub per row.
+    executors agree on the INTENT. Payloads the codec can't decode (or an
+    executor where Pillow can't import) fall back to the deterministic
+    stub per row — so on a heterogeneous cluster (Pillow on some executors
+    only) decodable payloads can hash differently by task placement. Jobs
+    that need bit-stable output regardless of environment must pin
+    ``use_codec`` explicitly (the flagship query pins False; a production
+    image pipeline should pin True and make Pillow a hard dependency).
     """
     codec = _HAS_PIL if use_codec is None else use_codec
 

@@ -97,3 +97,19 @@ def test_spark_kernel_matches_single_threaded(spark):
     for i, t in rows:
         ids = np.asarray(v.encode(t), dtype=np.int64)
         assert got[i] == (len(ids), hashlib.md5(ids.tobytes()).hexdigest())
+
+
+def test_non_utf8_bytes_get_valid_offsets():
+    """latin-1 fallback must keep offsets in SOURCE bytes: no span may
+    drift past the data after a non-UTF-8 byte (review round-3 finding)."""
+    v = default_vocab()
+    data = b"caf\xe9 bar"
+    toks = v.encode_bytes_with_offsets(data)
+    assert toks
+    last = 0
+    for _tid, s, e in toks:
+        assert 0 <= s < e <= len(data)
+        assert s >= last
+        last = e
+    # the reassembled non-space bytes cover the input's tokens faithfully
+    assert b"".join(data[s:e] for _t, s, e in toks).replace(b" ", b"") == data.replace(b" ", b"")

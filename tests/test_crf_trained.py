@@ -159,3 +159,22 @@ def test_predict_batch_matches_predict(model):
     batch = model.predict_batch(texts)
     for text, ents in zip(texts, batch):
         assert ents == model.predict(text)
+
+
+def test_tagless_config_still_emits_entities():
+    """A cnn_crf ReportConfig without explicit tags must fall back to the
+    model vocabulary via get_tags() — round-3 review found a tag-less
+    config silently filtered every prediction out (empty reports)."""
+    from ner_backend_spark.core.inference import run_inference_on_object
+    from ner_backend_spark.spark.tagger import ReportConfig, _compiled_state
+
+    config = ReportConfig.make(
+        model_type="cnn_crf", model_params={"emissions": "trained"}
+    )
+    m, tags, custom, groups = _compiled_state(config)
+    assert "EMAIL" in tags and "PHONENUMBER" in tags
+    res = run_inference_on_object(
+        "reach sonia.russell7@example.net or call 555-123-4567 today",
+        m, tags, custom, groups, build_previews=False,
+    )
+    assert {e.label for e in res.entities} >= {"EMAIL", "PHONENUMBER"}
