@@ -900,7 +900,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_quality_scores": """
             SELECT doc_id,
-                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   round((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')))
                          / greatest(length(text), 1), 4) AS punct_ratio,
                    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                          / greatest(length(text), 1), 4) AS digit_ratio,

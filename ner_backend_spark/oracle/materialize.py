@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "9"
+ORACLE_VERSION = "10"
 
 _S = pa.string()
 _L = pa.int64()

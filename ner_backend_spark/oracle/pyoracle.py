@@ -40,9 +40,9 @@ from ..core.spark_hash import (
 )
 from ..spark.dedup import (
     _HASH_RANGE,
-    _MERSENNE,
     _minhash_params,
     _word_shingles,
+    minhash_matrix,
     simhash_blocking,
 )
 from ..spark.multimodal import _fake_features
@@ -183,7 +183,7 @@ def oracle_minhash_neardups(sf_dir: str) -> list[tuple]:
     sigs: dict[int, np.ndarray] = {}
     for doc_id, text in load_documents(sf_dir):
         h = _word_shingles(text or "", p["shingle_k"])
-        vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+        vals = minhash_matrix(h, a, b)
         sigs[int(doc_id)] = (vals.min(axis=1) % _HASH_RANGE).astype(np.int64)
 
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)

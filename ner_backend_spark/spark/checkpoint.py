@@ -28,6 +28,7 @@ import os
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -61,26 +62,73 @@ STATUS_FAILED = "FAILED"
 STOP_FLAG = "_STOP"
 
 
-def request_stop(base_path: str) -> None:
+def _fs_and_path(path: str, spark: SparkSession | None = None):
+    """Hadoop FileSystem + Path for ``path`` — works for file:/, hdfs:/,
+    s3a:/ alike. Plain os.path here silently broke every object-store
+    deployment (round-3 review finding: request_stop's docstring promised
+    object-store visibility while writing a LOCAL file named 's3a:...')."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return None, None  # no JVM yet: caller falls back to os.path
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def request_stop(base_path: str, spark: SparkSession | None = None) -> None:
     """Reference Q4 soft-stop (internal/api/api.go:553-624 StopReport): set
     a stop flag the worker consults between task commits
-    (processor.go:187-190, 699-702). Here the flag is a marker file next to
-    the checkpoint table; on a shared filesystem/object store every driver
-    retry sees it."""
-    os.makedirs(base_path, exist_ok=True)
-    with open(os.path.join(base_path, STOP_FLAG), "w") as f:
-        f.write("stop")
+    (processor.go:187-190, 699-702). The flag is a marker file next to the
+    checkpoint table, created through the Hadoop FileSystem API so a shared
+    filesystem/object store makes it visible to every driver retry."""
+    fs, hpath = _fs_and_path(f"{base_path}/{STOP_FLAG}", spark)
+    if fs is None:
+        os.makedirs(base_path, exist_ok=True)
+        with open(os.path.join(base_path, STOP_FLAG), "w") as f:
+            f.write("stop")
+        return
+    out = fs.create(hpath, True)
+    out.write(bytearray(b"stop"))
+    out.close()
 
 
-def clear_stop(base_path: str) -> None:
-    try:
-        os.remove(os.path.join(base_path, STOP_FLAG))
-    except FileNotFoundError:
-        pass
+def clear_stop(base_path: str, spark: SparkSession | None = None) -> None:
+    fs, hpath = _fs_and_path(f"{base_path}/{STOP_FLAG}", spark)
+    if fs is None:
+        try:
+            os.remove(os.path.join(base_path, STOP_FLAG))
+        except FileNotFoundError:
+            pass
+        return
+    fs.delete(hpath, False)
 
 
-def stop_requested(base_path: str) -> bool:
-    return os.path.exists(os.path.join(base_path, STOP_FLAG))
+def stop_requested(base_path: str, spark: SparkSession | None = None) -> bool:
+    fs, hpath = _fs_and_path(f"{base_path}/{STOP_FLAG}", spark)
+    if fs is None:
+        return os.path.exists(os.path.join(base_path, STOP_FLAG))
+    return fs.exists(hpath)
+
+
+def config_fingerprint(config: ReportConfig) -> str:
+    """Deterministic digest of every semantic field of a ReportConfig —
+    process-independent (no Python hash()), used to refuse cross-config
+    resumes."""
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "model_type": config.model_type,
+            "model_params": list(config.model_params),
+            "tags": sorted(config.tags),
+            "custom_tags": list(config.custom_tags),
+            "groups": list(config.groups),
+            "build_previews": config.build_previews,
+        },
+        sort_keys=True,
+    )
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
 def with_partition_id(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -100,7 +148,11 @@ def completed_partitions(spark: SparkSession, base_path: str) -> set[int]:
             .distinct()
             .collect()
         )
-    except Exception:
+    except AnalysisException:
+        # no checkpoint table yet (fresh run). ONLY path-not-found maps to
+        # "start from scratch" — a transient storage error must propagate,
+        # not silently reprocess every bucket and double-append COMPLETED
+        # rows (round-3 review finding; checkpoint_kg narrows identically)
         return set()
     return {r["partition_id"] for r in rows}
 
@@ -154,12 +206,14 @@ class CheckpointedReportRunner:
         self, pages: DataFrame, fail_after_commits: int | None = None
     ) -> dict:
         run_id = str(uuid.uuid4())
+        self._validate_resume_compatibility()
         done = completed_partitions(self.spark, self.base_path)
         todo = [p for p in range(self.n_buckets) if p not in done]
         lineage = json.dumps(
             {
                 "run_id": run_id,
                 "config_model": self.config.model_type,
+                "config_fp": config_fingerprint(self.config),
                 "n_buckets": self.n_buckets,
                 "source": "pages",
             }
@@ -220,6 +274,43 @@ class CheckpointedReportRunner:
             "skipped_buckets": sorted(done),
             "stopped": stopped,
         }
+
+    def _validate_resume_compatibility(self) -> None:
+        """Refuse to resume onto checkpoints written under a DIFFERENT
+        config or bucket count: skipping old COMPLETED buckets while
+        processing the rest with new parameters would graft two configs'
+        outputs into one table with no error (round-3 review finding —
+        CheckpointedKgRunner already refuses the same hybrid)."""
+        try:
+            prior = (
+                read_checkpoints(self.spark, self.base_path)
+                .filter(F.col("status") == STATUS_COMPLETED)
+                .select("lineage")
+                .limit(1)
+                .collect()
+            )
+        except AnalysisException:
+            return  # fresh run
+        if not prior:
+            return
+        try:
+            meta = json.loads(prior[0]["lineage"])
+        except (ValueError, TypeError):
+            return  # pre-fingerprint checkpoint table: can't validate
+        fp = meta.get("config_fp")
+        if fp is not None and fp != config_fingerprint(self.config):
+            raise ValueError(
+                "resume refused: existing checkpoints were written under a "
+                f"different report config (theirs {fp}, ours "
+                f"{config_fingerprint(self.config)}); use a new base_path "
+                "or delete the old outputs"
+            )
+        n = meta.get("n_buckets")
+        if n is not None and int(n) != self.n_buckets:
+            raise ValueError(
+                f"resume refused: bucket count changed ({n} -> "
+                f"{self.n_buckets}); partition ids are not comparable"
+            )
 
     def _run_group(
         self, pages_p: DataFrame, group: list[int], run_id: str,
@@ -289,7 +380,9 @@ class CheckpointedReportRunner:
 
     def _finalize(self) -> None:
         ents_path = f"{self.base_path}/entities"
-        if not os.path.exists(ents_path):
+        fs, hpath = _fs_and_path(ents_path, self.spark)
+        exists = fs.exists(hpath) if fs is not None else os.path.exists(ents_path)
+        if not exists:
             return
         entities = self.spark.read.parquet(ents_path)
         custom = {tag for tag, _ in self.config.custom_tags}

@@ -37,8 +37,8 @@ from .kg import (
     canonical_map,
     connected_components,
     extract_mentions,
-    lsh_candidate_pairs,
-    score_links,
+    mention_edges,
+    triples_from_canonical,
 )
 
 KG_STAGES = ["mentions", "edges", "components", "canonical", "triples"]
@@ -197,26 +197,18 @@ class CheckpointedKgRunner:
         if "edges" not in done:
             t0 = time.time()
             mentions = self._read("mentions")
-            pairs = lsh_candidate_pairs(
+            # the SAME edge construction build_triples runs — reimplementing
+            # the sim-edge + alias-virtual-node union here let the two paths
+            # drift (round-3 review finding)
+            edges, _hits = mention_edges(
                 mentions,
+                self.alias_df,
+                self.threshold,
                 self.num_hashes,
                 self.bands,
-                max_bucket_size=self.max_bucket_size,
+                self.max_bucket_size,
             )
-            sim = score_links(pairs, mentions, self.threshold).select(
-                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-            )
-            if self.alias_df is not None:
-                hits = alias_candidates(mentions, self.alias_df)
-                sim = sim.union(
-                    hits.select(
-                        F.col("mention_id").alias("src"),
-                        F.xxhash64(
-                            F.concat(F.lit("alias:"), "canonical_id")
-                        ).alias("dst"),
-                    )
-                )
-            self._commit("edges", sim, run_id, t0, lineage)
+            self._commit("edges", edges, run_id, t0, lineage)
             ran.append("edges")
             maybe_fail()
 
@@ -242,24 +234,10 @@ class CheckpointedKgRunner:
 
         if "triples" not in done:
             t0 = time.time()
-            has = (
-                entities.join(self._read("canonical"), ["label", "text"])
-                .select(
-                    F.col("url").alias("subj"),
-                    F.concat(F.lit("HAS_"), F.col("label")).alias("pred"),
-                    F.col("canonical").alias("obj"),
-                )
-                .distinct()
+            triples = triples_from_canonical(
+                entities, self._read("canonical"), object_groups
             )
-            if object_groups is not None:
-                has = has.unionByName(
-                    object_groups.select(
-                        F.col("url").alias("subj"),
-                        F.lit("IN_GROUP").alias("pred"),
-                        F.col("group_name").alias("obj"),
-                    ).distinct()
-                )
-            self._commit("triples", has, run_id, t0, lineage)
+            self._commit("triples", triples, run_id, t0, lineage)
             ran.append("triples")
 
         entities.unpersist()

@@ -257,6 +257,38 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+_M61 = np.uint64(_MERSENNE)
+_MASK29 = np.uint64((1 << 29) - 1)
+_MASK61 = np.uint64((1 << 61) - 1)
+
+
+def minhash_matrix(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """True ``(a*h + b) mod p`` over the K x S grid, p = 2^61 - 1, uint64.
+
+    The naive ``(a[:,None]*h[None,:] + b[:,None]) % p`` silently wrapped
+    mod 2^64 first (a < 2^61 times h < 2^32 overflows uint64), so the
+    family was not the documented mod-p universal hashing (round-3 review
+    finding). Decompose a = a_hi*2^32 + a_lo: both partial products fit in
+    64 bits, and multiplying by 2^32 mod a Mersenne prime is a 61-bit
+    rotation. Shared by the Spark kernel and the pure-Python oracle so
+    both sides compute the identical (now correctly mod-p) family.
+    """
+    h = h.astype(np.uint64)[None, :]
+    a_hi = (a >> np.uint64(32))[:, None]  # < 2^29
+    a_lo = (a & np.uint64(0xFFFFFFFF))[:, None]  # < 2^32
+    # p1 = a_hi * h < 2^61; p1 * 2^32 mod p == rot61(p1, 32)
+    p1 = a_hi * h
+    rot = ((p1 & _MASK29) << np.uint64(32)) | (p1 >> np.uint64(29))
+    rot = np.where(rot >= _M61, rot - _M61, rot)
+    # p2 = a_lo * h < 2^64: fold mod p once
+    p2 = a_lo * h
+    p2 = (p2 & _MASK61) + (p2 >> np.uint64(61))
+    p2 = np.where(p2 >= _M61, p2 - _M61, p2)
+    total = rot + p2 + b[:, None]  # < 3 * 2^61 < 2^64
+    total = (total & _MASK61) + (total >> np.uint64(61))
+    return np.where(total >= _M61, total - _M61, total)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -280,7 +312,7 @@ def minhash_signatures(
             for i, text in zip(pdf[id_col].values, pdf[text_col].values):
                 h = _word_shingles(text or "", shingle_k)
                 # (a*h + b) mod p, vectorized over hashes x shingles
-                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+                vals = minhash_matrix(h, a, b)
                 sig = vals.min(axis=1) % _HASH_RANGE
                 ids.append(i)
                 sigs.append(sig.astype(np.int64).tolist())

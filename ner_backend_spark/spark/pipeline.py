@@ -36,11 +36,14 @@ def extract_text(pages: DataFrame, validate: bool = False) -> DataFrame:
     raw bytes decoded as UTF-8. JVM-side ``decode`` keeps this inside
     whole-stage codegen; no Python involved.
     """
-    extracted = pages.withColumn("text", F.decode(F.col("html"), "UTF-8"))
-    if validate:
-        bad = extracted.filter(~F.col("text").eqNullSafe(F.decode("html", "UTF-8")))
-        assert bad.isEmpty()
-    return extracted
+    if validate and "text" in pages.columns:
+        # compare the INCOMING text column (before it is overwritten) to
+        # decode(html) — comparing after the overwrite would be tautological
+        bad = pages.filter(
+            ~F.col("text").eqNullSafe(F.decode(F.col("html"), "UTF-8"))
+        )
+        assert bad.isEmpty(), "text != decode(html) for some urls"
+    return pages.withColumn("text", F.decode(F.col("html"), "UTF-8"))
 
 
 def text_invariant_violations(pages: DataFrame) -> DataFrame:
@@ -59,12 +62,11 @@ class ReportOutput:
     custom_tag_counts: DataFrame  # tag, count (custom regex labels)
     previews: DataFrame | None  # url, tokens, tags
     token_counts: DataFrame  # url, total_tokens
+    config: ReportConfig | None = None  # lets sinks re-derive from rows
 
 
-def run_report(pages: DataFrame, config: ReportConfig) -> ReportOutput:
-    """Build every output of one scan job from a single model pass."""
-    report_rows = tag_documents(pages, config)
-
+def _derive_outputs(report_rows: DataFrame, config: ReportConfig) -> ReportOutput:
+    """All output tables as relational projections of report_rows."""
     entities = explode_entities(report_rows)
     object_groups = explode_groups(report_rows)
 
@@ -97,7 +99,13 @@ def run_report(pages: DataFrame, config: ReportConfig) -> ReportOutput:
         custom_tag_counts=custom_tag_counts,
         previews=previews,
         token_counts=token_counts,
+        config=config,
     )
+
+
+def run_report(pages: DataFrame, config: ReportConfig) -> ReportOutput:
+    """Build every output of one scan job from a single model pass."""
+    return _derive_outputs(tag_documents(pages, config), config)
 
 
 def write_outputs(
@@ -119,6 +127,17 @@ def write_outputs(
     """
     sink = sink or sinks.ParquetSink(base_path)
     bucket_spec = (sinks.bucket(n_buckets, "url", alias="partition_id"),)
+    if out.config is not None:
+        # every output table is a projection of report_rows: materialize
+        # the model pass ONCE, not once per sink write (5-6 redundant full
+        # NER passes otherwise — days of inference at the 100 TB design
+        # point; round-3 review finding). _materialize keeps lineage-safe
+        # fault tolerance (persist) on the lazy path.
+        from .kg import _materialize
+
+        out = _derive_outputs(
+            _materialize(out.report_rows, eager=False), out.config
+        )
     sink.write(out.entities, "entities", spec=bucket_spec, mode=mode)
     sink.write(out.object_groups, "object_groups", mode=mode)
     sink.write(out.report_tags, "report_tags", mode=mode)

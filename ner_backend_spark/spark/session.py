@@ -81,6 +81,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # reclaim reliable-checkpoint files (kg._materialize lineage cuts)
+        # once their RDDs are GC'd — default false leaks one file set per
+        # CC fixpoint round in long-lived sessions
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

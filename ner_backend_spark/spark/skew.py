@@ -81,16 +81,24 @@ def salted_join_hot_keys(
     key_col: str,
     n_salts: int = 8,
     threshold_fraction: float = 0.05,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """fact JOIN dim on key, salting only hot keys.
 
-    Hot fact rows get salt = hash%n_salts; the dim rows for hot keys are
-    replicated n_salts times (explode) so every (key, salt) finds its match.
-    Cold keys keep salt = 0 with a single dim copy: no replication cost.
+    Hot fact rows get a CONTENT-DERIVED salt (xxhash64 over ``salt_cols``,
+    default: every fact column) — never monotonically_increasing_id, whose
+    value changes when a retried map task re-fetches shuffle rows in a
+    different order, silently losing/duplicating rows across reducers
+    (SPARK-23207-class hazard; round-3 review finding). Identical duplicate
+    rows share a salt, which only costs balance, never correctness. The dim
+    rows for hot keys are replicated n_salts times (explode) so every
+    (key, salt) finds its match. Cold keys keep salt = 0 with a single dim
+    copy: no replication cost.
     """
     hot = hot_keys(fact, key_col, threshold_fraction).select(
         F.col(key_col).alias("__hot_key")
     )
+    salt_src = [F.col(c) for c in (salt_cols or fact.columns)]
     fact_s = (
         fact.join(
             F.broadcast(hot), fact[key_col] == F.col("__hot_key"), "left"
@@ -99,9 +107,7 @@ def salted_join_hot_keys(
             "__salt",
             F.when(
                 F.col("__hot_key").isNotNull(),
-                F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast(
-                    "int"
-                ),
+                F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("__hot_key")

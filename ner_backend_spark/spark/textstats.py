@@ -48,9 +48,13 @@ def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio, stopword ratio (English), and a combined [0,1] quality score."""
     t = F.col(text_col)
     n_chars = F.greatest(F.length(t), F.lit(1))
-    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    # Unicode-aware classes: Java's \w is ASCII-only, so [^\w\s] counted
+    # every non-ASCII LETTER (ü, é, 東) as punctuation and collapsed
+    # quality_score to ~0 for non-English prose (round-3 review finding).
+    # \p{L}\p{N} works identically in Java regex (Spark) and RE2 (DuckDB).
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
     digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
-    upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    upper = F.length(t) - F.length(F.regexp_replace(t, r"\p{Lu}", ""))
     n_tokens = F.greatest(token_count(t), F.lit(1))
     sw = STOPWORDS["en"]
     sw_hits = F.size(

@@ -228,3 +228,21 @@ def test_throughput_metrics_latest_attempt_wins(spark, tmp_path):
     assert m["n_tokens"] == 1200 + 100
     assert m["wall_seconds"] == pytest.approx(30.0)
     assert m["n_succeeded_buckets"] == 2
+
+
+def test_resume_rejects_config_mismatch(spark, pages, tmp_path):
+    """Round-3 review: resuming onto checkpoints written under a different
+    config must refuse (the KG runner already did; the report runner
+    silently grafted two configs' outputs into one table)."""
+    base = str(tmp_path / "report")
+    CheckpointedReportRunner(spark, CONFIG, base, n_buckets=4).run(pages)
+    other = ReportConfig.make(
+        model_type="regex", model_params={"patterns": {"x": r"zz"}}
+    )
+    with pytest.raises(ValueError, match="different report config"):
+        CheckpointedReportRunner(spark, other, base, n_buckets=4).run(pages)
+    with pytest.raises(ValueError, match="bucket count"):
+        CheckpointedReportRunner(spark, CONFIG, base, n_buckets=8).run(pages)
+    # same config + same buckets still resumes cleanly
+    res = CheckpointedReportRunner(spark, CONFIG, base, n_buckets=4).run(pages)
+    assert res["processed_buckets"] == 0

@@ -227,3 +227,37 @@ def test_winnow_arrow_kernel_matches_expression(spark):
         for r in winnow_fingerprints(df, "doc_id", "text", impl="arrow").collect()
     }
     assert arrow == expr
+
+
+def test_quality_punct_ratio_is_unicode_aware(spark):
+    """Non-ASCII letters must NOT count as punctuation (Java \\w is
+    ASCII-only; round-3 review finding)."""
+    rows = [(0, "Die Tür ist für müde Gäste geöffnet"),
+            (1, "plain ascii words only here"),
+            (2, "really!!! lots??? of... punct;;;")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.add_quality_scores(df).collect()}
+    assert out[0]["punct_ratio"] == 0.0  # umlauts are letters, not punct
+    assert out[1]["punct_ratio"] == 0.0
+    assert out[2]["punct_ratio"] > 0.2
+    assert out[0]["quality_score"] > 0.5
+
+
+def test_minhash_matrix_is_true_mod_p():
+    """(a*h+b) mod p computed without uint64 wraparound (round-3 review:
+    the naive numpy expression wrapped mod 2^64 first)."""
+    import numpy as np
+
+    from ner_backend_spark.spark.dedup import (
+        _MERSENNE,
+        _minhash_params,
+        minhash_matrix,
+    )
+
+    a, b = _minhash_params(16)
+    rng = np.random.RandomState(3)
+    h = rng.randint(0, 1 << 32, size=50, dtype=np.uint64)
+    got = minhash_matrix(h, a, b)
+    for i in range(16):
+        for j in range(0, 50, 7):
+            assert int(got[i, j]) == (int(a[i]) * int(h[j]) + int(b[i])) % _MERSENNE
