@@ -103,7 +103,11 @@ def build_preview(
     """createObjectPreview semantics (processor.go:438-517).
 
     Re-runs the model + custom tags on the preview text, coalesces, and emits
-    alternating O / label segments covering the whole preview text.
+    alternating O / label segments covering the whole preview text. Spans of
+    DIFFERENT labels can overlap (coalesce only merges same-label runs); the
+    cursor walk then re-emits the overlapped bytes and, for a strictly
+    contained span, steps backwards — byte-for-byte the reference's behavior
+    (processor.go:483-500), deliberately preserved rather than "fixed".
     """
     spans = model.predict(preview_text)
     spans = filter_entities(preview_text, spans)

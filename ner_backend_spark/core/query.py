@@ -151,10 +151,36 @@ def _tokenize(query: str) -> list[tuple[str, str]]:
     return tokens
 
 
+_ESCAPE_RE = re.compile(
+    r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|x[0-9a-fA-F]{2}|[0-7]{1,3}|.)"
+)
+_SIMPLE_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b",
+    "f": "\f", "v": "\v", "\\": "\\", '"': '"', "'": "'",
+}
+
+
 def _unquote(s: str) -> str:
-    # participle.Unquote uses Go strconv.Unquote; standard escapes suffice
-    # for the DSL's quoted strings.
-    return s[1:-1].encode("utf-8").decode("unicode_escape")
+    """participle.Unquote ≙ Go strconv.Unquote: resolve standard escapes.
+
+    Escapes are substituted directly on the str — the previous
+    ``encode('utf-8').decode('unicode_escape')`` round-trip decoded UTF-8
+    bytes as Latin-1 and mojibake'd every non-ASCII literal ('Müller' ->
+    'MÃ¼ller'), silently emptying any group query with a non-ASCII value
+    (round-3 review finding, confirmed by execution).
+    """
+
+    def sub(m: re.Match) -> str:
+        g = m.group(1)
+        if g[0] in "uU":
+            return chr(int(g[1:], 16))
+        if g[0] == "x":
+            return chr(int(g[1:], 16))
+        if g[0] in "01234567":
+            return chr(int(g, 8))
+        return _SIMPLE_ESCAPES.get(g, g)
+
+    return _ESCAPE_RE.sub(sub, s[1:-1])
 
 
 class _Parser:

@@ -229,13 +229,14 @@ class IncrementalKg:
             )
         )
         assign = incremental_components(seed, edges)
-        assign.write.mode("overwrite").parquet(
-            f"{self.base}/assign_v{batch_id}"
-        )
-        # counter metrics, recomputed from committed state (idempotent, like
-        # the batch checkpointers): read back what was written, never keep
-        # driver-side running counters
-        committed = self.spark.read.parquet(f"{self.base}/assign_v{batch_id}")
+        staging = f"{self.base}/_assign_staging_v{batch_id}"
+        assign.write.mode("overwrite").parquet(staging)
+        # counter metrics BEFORE the assign_v{batch} commit marker lands:
+        # redelivery early-returns on that marker, so anything written after
+        # it is outside the idempotency window — a crash in between would
+        # lose the batch's metrics forever (round-3 review finding).
+        # Recomputed from written state, never driver-side running counters.
+        committed = self.spark.read.parquet(staging)
         metrics = {
             "batch_id": batch_id,
             "n_new_mentions": self.spark.read.parquet(
@@ -246,6 +247,9 @@ class IncrementalKg:
         }
         with open(f"{self.base}/metrics_v{batch_id}.json", "w") as f:
             json.dump(metrics, f)
+        # the rename is the commit point: marker appears only after both the
+        # data and its metrics are durable
+        os.rename(staging, f"{self.base}/assign_v{batch_id}")
 
     # -- read views ----------------------------------------------------------
 
@@ -284,7 +288,17 @@ class IncrementalKg:
         dir is bound to its first checkpoint path and other paths refused.
         """
         marker = f"{self.base}/stream_checkpoint.json"
-        norm = os.path.abspath(checkpoint_path)
+        # normalize ONLY schemeless local paths: abspath on a URI would
+        # mangle it ('file:///x' -> '<cwd>/file:/x') and abspath on a
+        # relative path binds the state to the driver's cwd, refusing a
+        # legitimate resume from another working dir (round-3 review
+        # finding). URIs are compared verbatim.
+        import re as _re
+
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", checkpoint_path):
+            norm = checkpoint_path.rstrip("/")
+        else:
+            norm = os.path.abspath(checkpoint_path)
         if os.path.exists(marker):
             with open(marker) as f:
                 stored = json.load(f)["checkpoint_path"]

@@ -85,6 +85,14 @@ def stream_first_seen(pages_stream: DataFrame) -> DataFrame:
     ``md5(text)`` — the same exact-dedup key as the batch path
     (spark/dedup.py exact_duplicates), so batch and stream agree on what
     "duplicate" means. Output mode must be ``append``.
+
+    ``n_duplicates`` counts duplicates that arrived in the SAME trigger as
+    the first occurrence — append mode emits each key exactly once, so
+    later-trigger duplicates cannot be re-emitted. They ARE still
+    accumulated in the keyed state (readable with the state-store reader,
+    ``spark.read.format("statestore")``), which is where a running total
+    lives; treating the emitted column as an all-time count would
+    undercount any key whose duplicates span triggers.
     """
     keyed = pages_stream.select(
         F.md5(F.col("text")).alias("fingerprint"), "url"

@@ -140,3 +140,20 @@ def test_auto_tune_k_reference_semantics():
     want = max(int(10 * math.log(1 + 100.0 / 5)), 2)
     assert auto_tune_k([5], 10, 100.0) == want
     assert auto_tune_k([10**9], 10, 1.0) == 2  # floor at 2
+
+
+def test_unquote_preserves_non_ascii():
+    """Round-3 review: the unicode_escape round-trip mojibake'd non-ASCII
+    literals ('Müller' -> 'MÃ¼ller'), silently emptying such queries."""
+    from types import SimpleNamespace
+
+    from ner_backend_spark.core.query import parse_query
+
+    f = parse_query('NAME = "Müller"')
+    ents = {"NAME": [SimpleNamespace(text="Müller")]}
+    assert f.matches(ents)
+    f2 = parse_query('CITY CONTAINS "東京"')
+    assert f2.matches({"CITY": [SimpleNamespace(text="in 東京 now")]})
+    # escapes still resolve
+    f3 = parse_query('X = "a\\"b\\u00fcc"')
+    assert f3.matches({"X": [SimpleNamespace(text='a"büc')]})
