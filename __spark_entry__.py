@@ -234,6 +234,30 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: quality gate -> exact-dedup
+    (canonical doc per md5 group) -> per-language doc/token budget. The
+    composition a 100 TB curation run materializes before sampling: each
+    step is a prior operator (add_quality_scores, exact_duplicates,
+    bpe_token_count), so this row pins that they COMPOSE correctly."""
+    from ner_backend_spark.spark.dedup import exact_duplicates
+    from ner_backend_spark.spark.textstats import (
+        add_bpe_tokens,
+        add_quality_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = add_quality_scores(docs).filter(F.col("quality_score") >= 0.5)
+    canon = exact_duplicates(docs, "doc_id", "text").filter(
+        F.col("id") == F.col("canonical_id")
+    ).select(F.col("id").alias("doc_id"))
+    kept = add_bpe_tokens(scored.join(canon, "doc_id"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_bpe_tokens").cast("long")).alias("total_tokens"),
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.textstats import add_language_id
 
@@ -683,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_backend": _q_search_backend,
         "q_token_stats": _q_token_stats,
         "q_quality_scores": _q_quality_scores,
+        "q_curation_stats": _q_curation_stats,
         "q_lang_id": _q_lang_id,
         "q_dedup_exact": _q_dedup_exact,
         "q_knn_cosine": _q_knn_cosine,
@@ -910,6 +935,39 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
                        AS stopword_ratio
             FROM documents
+        """,
+        "q_curation_stats": r"""
+            WITH q AS (
+                SELECT doc_id, lang, text,
+                       (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}_\s]', '', 'g')))
+                           / greatest(length(text), 1) AS punct_ratio,
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                           / greatest(length(text), 1) AS digit_ratio,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x)))
+                           / greatest(CASE WHEN trim(text) = '' THEN 0
+                                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+                           AS stopword_ratio
+                FROM documents
+            ), gated AS (
+                SELECT doc_id, lang, text FROM q
+                WHERE least(1.0, greatest(0.0,
+                        1.0 - punct_ratio * 2 - digit_ratio * 2
+                        + least(stopword_ratio * 2, 0.3))) >= 0.5
+            ), canon AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY md5(text)) AS c
+                    FROM documents
+                ) WHERE doc_id = c
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(CAST(len(list_filter(
+                       regexp_extract_all(text,
+                         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+                       x -> trim(x) != '')) AS BIGINT)) AS total_tokens
+            FROM gated JOIN canon USING (doc_id)
+            GROUP BY lang
         """,
         "q_lang_id": """
             WITH hits AS (
