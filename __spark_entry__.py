@@ -240,18 +240,28 @@ def _q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition a 100 TB curation run materializes before sampling: each
     step is a prior operator (add_quality_scores, exact_duplicates,
     bpe_token_count), so this row pins that they COMPOSE correctly."""
-    from ner_backend_spark.spark.dedup import exact_duplicates
+    from pyspark.sql import Window
+
     from ner_backend_spark.spark.textstats import (
         add_bpe_tokens,
         add_quality_scores,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    scored = add_quality_scores(docs).filter(F.col("quality_score") >= 0.5)
-    canon = exact_duplicates(docs, "doc_id", "text").filter(
-        F.col("id") == F.col("canonical_id")
-    ).select(F.col("id").alias("doc_id"))
-    kept = add_bpe_tokens(scored.join(canon, "doc_id"))
+    # ONE scan of documents: canonical selection is a window min over the
+    # content hash (dedup semantics of exact_duplicates) computed alongside
+    # the quality scores, instead of a second scan + join — at the 100 TB
+    # design point the extra table scans are the dominant cost
+    canon_id = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    kept = (
+        add_quality_scores(docs)
+        .withColumn("_canonical_id", canon_id)
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("doc_id") == F.col("_canonical_id"))
+        )
+    )
+    kept = add_bpe_tokens(kept)
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_bpe_tokens").cast("long")).alias("total_tokens"),
