@@ -130,3 +130,49 @@ def test_ensure_parallelism_fans_out_small_input(spark, pages_path):
     # already-wide inputs are untouched (no extra shuffle at scale)
     wide = spark.range(0, 1000, 1, 64)
     assert ensure_parallelism(wide).rdd.getNumPartitions() == 64
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_scans_prune_and_push(spark):
+    """q01's lineitem scan must push the shipdate filter into parquet and
+    prune to only the referenced columns (a scan reading every column for
+    a 7-column aggregate is the wrong plan at 100 TB)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q01_pricing_summary"](spark, SF001))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_curation_single_scan(spark):
+    """The curation composite must read documents ONCE (window-based
+    canonical selection), never once per composed operator."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q_curation_stats"](spark, SF001))
+    assert plan.count("documents.parquet") == 1
+
+
+def test_neardup_caps_broadcast_only_oversized_keys(spark):
+    """The bucket cap must appear as a broadcast (anti) join on the tiny
+    oversized-key set — never a row-level shuffle of the banded table."""
+    from ner_backend_spark.spark.dedup import (
+        near_duplicates_minhash,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    for df in (
+        near_duplicates_minhash(docs, "doc_id", "text", max_bucket_size=64),
+        simhash_near_duplicates(docs, "doc_id", "text", max_bucket_size=64),
+    ):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
