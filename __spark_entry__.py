@@ -234,6 +234,29 @@ def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_EXTS = [".txt", ".csv", ".html", ".json", ".xml", ".bin"]
+
+
+def _q_source_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension-routed storage parsing (parser.go:33-120 semantics):
+    documents re-cast as named objects, plaintext types identity-decoded
+    JVM-side, unsupported types becoming error rows."""
+    from ner_backend_spark.spark.sources import parse_objects
+
+    docs = _t(spark, sf_dir, "documents")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _SOURCE_EXTS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    objs = docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), ext).alias(
+            "url"
+        ),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    return parse_objects(objs)
+
+
 def _q_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation: quality gate -> exact-dedup
     (canonical doc per md5 group) -> per-language doc/token budget. The
@@ -718,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": _q_token_stats,
         "q_quality_scores": _q_quality_scores,
         "q_curation_stats": _q_curation_stats,
+        "q_source_chunks": _q_source_chunks,
         "q_lang_id": _q_lang_id,
         "q_dedup_exact": _q_dedup_exact,
         "q_knn_cosine": _q_knn_cosine,
@@ -978,6 +1002,22 @@ def oracle_sql() -> dict[str, str]:
                        x -> trim(x) != '')) AS BIGINT)) AS total_tokens
             FROM gated JOIN canon USING (doc_id)
             GROUP BY lang
+        """,
+        "q_source_chunks": """
+            WITH objs AS (
+                SELECT 'doc_' || doc_id ||
+                       (['.txt', '.csv', '.html', '.json', '.xml', '.bin'])
+                           [CAST(doc_id % 6 AS INT) + 1] AS url,
+                       text
+                FROM documents
+            )
+            SELECT url,
+                   CAST(0 AS BIGINT) AS chunk_offset,
+                   CASE WHEN url LIKE '%.bin' THEN NULL ELSE text END AS text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS raw_size,
+                   CASE WHEN url LIKE '%.bin' THEN 'unsupported file type'
+                        ELSE NULL END AS error
+            FROM objs
         """,
         "q_lang_id": """
             WITH hits AS (

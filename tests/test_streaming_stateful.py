@@ -112,3 +112,28 @@ def test_stream_sessions_gap_merge(spark, tmp_path):
         ("u1", t0 + datetime.timedelta(minutes=120), 2),
         ("u2", t0 + datetime.timedelta(minutes=5), 1),
     }
+
+
+def test_first_seen_running_total_readable_from_state_store(spark, tmp_path):
+    """The all-time duplicate count lives in keyed state; pin that the
+    documented `spark.read.format("statestore")` path actually surfaces
+    it (docstring claim -> executable contract)."""
+    import os
+
+    from ner_backend_spark.streaming.stateful import stream_first_seen
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    with open(f"{in_dir}/a.json", "w") as f:
+        f.write('{"url":"u1","text":"same"}\n{"url":"u2","text":"same"}\n')
+    stream = spark.readStream.schema("url string, text string").json(in_dir)
+    q = (
+        stream_first_seen(stream).writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(str(tmp_path / "ckpt"))
+    rows = state.collect()
+    assert len(rows) == 1
+    assert rows[0]["value"][0][1] == 1  # (first_url, n_duplicates) = (u1, 1)
