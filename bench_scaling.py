@@ -129,22 +129,31 @@ def run_level(cores: int) -> dict:
 
     # Job 2: full KG construction end-to-end (pages -> entities -> mentions
     # -> LSH blocking -> link scoring -> connected components ->
-    # canonicalized triples). Includes recomputing the NER stage.
+    # canonicalized triples). Includes recomputing the NER stage. Best of 2
+    # passes: a single pass swings with VM noise (the same reason the NER
+    # job takes a median of 3), and median-of-3 would triple the most
+    # expensive stage of the run; identical treatment at both levels keeps
+    # the efficiency ratio fair.
     alias_df = spark.createDataFrame(
         [("user0@example.com", "ENT_USER0"), ("a1b2c3", "ENT_TOKEN")],
         "surface string, canonical_id string",
     )
     from ner_backend_spark.flagship import KG_MAX_BUCKET
 
-    t0 = time.monotonic()
-    entities = run_report(pages, config).entities.select("url", "label", "text")
-    noop(
-        build_triples(
-            entities, None, alias_df,
-            threshold=0.5, max_bucket_size=KG_MAX_BUCKET,
+    kg_samples = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        entities = run_report(pages, config).entities.select(
+            "url", "label", "text"
         )
-    )
-    kg_secs = time.monotonic() - t0
+        noop(
+            build_triples(
+                entities, None, alias_df,
+                threshold=0.5, max_bucket_size=KG_MAX_BUCKET,
+            )
+        )
+        kg_samples.append(time.monotonic() - t0)
+    kg_secs = min(kg_samples)
 
     n_docs = N_PAGES
     spark.stop()
@@ -201,13 +210,14 @@ def main() -> None:
         " kg_* fields: full pages->entities->triples pipeline",
     }
     print(json.dumps(report))
-    name = (
-        "SCALING.json"
-        if MENTION_SCALE == 1
-        else f"SCALING_m{MENTION_SCALE}.json"
-    )
+    # compose every non-default axis into the name so no two distinct
+    # configurations clobber one file
+    name = "SCALING"
+    if MENTION_SCALE != 1:
+        name += f"_m{MENTION_SCALE}"
     if MODEL != "presidio":
-        name = f"SCALING_{MODEL}.json"
+        name += f"_{MODEL}"
+    name += ".json"
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(report, f, indent=2)
 

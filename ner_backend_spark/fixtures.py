@@ -146,7 +146,9 @@ def generate_rows(n: int = 200, n_domains: int = 12) -> list[tuple]:
         text = " ".join(sentences)
         rows.append(_row(f"https://{domain}/page/{len(rows)}", len(rows), text))
 
-    return rows
+    # n smaller than the golden set returns exactly n rows (callers size
+    # tables precisely); any n >= 24 is unaffected
+    return rows[:n]
 
 
 def _row(url: str, i: int, text: str) -> tuple:
@@ -200,11 +202,8 @@ def distributed_row(
     of (SEED, i, n, n_domains, surface_scale), shared by the Spark kernel
     (pages_df_distributed) and the pure-Python oracle twin
     (generate_rows_distributed) so both sides see identical bytes."""
-    weights = [1.0 / (d + 1) for d in range(n_domains)]
     rng = random.Random((SEED << 32) ^ i)
-    domain = (
-        f"site{rng.choices(range(n_domains), weights=weights)[0]}.example"
-    )
+    domain = _zipf_domain(rng, n_domains)  # same single rng draw as inline
     sentences = rng.choices(_FILLER_SENTENCES, k=rng.randint(3, 12))
     if rng.random() < 0.6:
         sentences.insert(

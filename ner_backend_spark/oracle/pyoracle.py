@@ -24,6 +24,7 @@ import hashlib
 import math
 import re
 from collections import defaultdict
+from functools import lru_cache as _lru_cache
 from types import SimpleNamespace
 
 import numpy as np
@@ -426,7 +427,11 @@ def _native_entities(sf_dir: str) -> list[tuple[str, str, str]]:
 
 
 def _norm_surface(s: str) -> str:
-    return re.sub(r"\s+", " ", s.strip().lower())
+    """Mirror spark/kg.normalize_surface BIT-exactly: Spark's trim strips
+    only ASCII spaces and Java's \\s is the ASCII class — Python's Unicode
+    strip()/\\s would diverge on tabs/NBSP surfaces (latent parity hazard;
+    same pinned class as _winnow_fps_py)."""
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", s.strip(" ").lower())
 
 
 def _trigrams_py(norm: str) -> list[str]:
@@ -459,9 +464,12 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
+@_lru_cache(maxsize=2)
 def oracle_winnow_fingerprints(sf_dir: str) -> list[tuple]:
     """(doc_id, fp) — winnowing replica (spark/dedup.py winnow_fingerprints)
-    via the pinned murmur3 spark_hash over the same normalization."""
+    via the pinned murmur3 spark_hash over the same normalization.
+    Cached per sf_dir: oracle_winnow_neardups consumes it too, and full
+    generation used to run the corpus hash pass twice."""
     k, w = flagship.WINNOW["k"], flagship.WINNOW["window"]
     rows = []
     for doc_id, text in load_documents(sf_dir):
@@ -530,8 +538,11 @@ def oracle_stratified_sample(sf_dir: str) -> list[tuple]:
     return sorted(rows)
 
 
+@_lru_cache(maxsize=2)
 def _kg_state(sf_dir: str):
-    """(ents, mentions, hits, comp): the shared KG clustering state.
+    """(ents, mentions, hits, comp): the shared KG clustering state —
+    cached per sf_dir (both q_kg_components and q_kg_triples consume it;
+    full generation used to run the whole clustering twice).
 
     Replicates spark/kg.py mention_edges + connected_components exactly
     (LSH banding via the Spark-hash replicas; exact trigram Jaccard;

@@ -53,6 +53,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     filters = sys.argv[2:]
 
+    # pin the materialized oracle tables to the SF under test — without
+    # this, oracle_sql() defaults them to sf0.01 and every materialized
+    # query spuriously FAILs at any other SF (round-3 review finding)
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", sf_dir)
+
     from ner_backend_spark.spark.session import get_spark
 
     spark = get_spark("parity-check")

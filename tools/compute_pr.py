@@ -58,7 +58,9 @@ def main() -> None:
     gfilters = {name: parse_query(q) for name, q in groups.items()}
     oracle_spans, oracle_groups = set(), set()
     for url, _ts, _html, text, _lang in rows:
-        res = run_inference_on_object(text, model, tags, custom, gfilters)
+        res = run_inference_on_object(
+            text, model, tags, custom, gfilters, build_previews=False
+        )
         for e in res.entities:
             oracle_spans.add((url, *e))
         for g in res.groups:

@@ -22,8 +22,23 @@ from ner_backend_spark.oracle import materialize  # noqa: E402
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--force"]
     force = "--force" in sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    # an SF dir is recognized in ANY position; everything else must be a
+    # known query name (a typo'd name or misplaced dir used to be silently
+    # dropped, regenerating the wrong thing while printing success)
+    dirs = [a for a in args if os.path.isdir(a)]
+    if len(dirs) > 1:
+        print(f"multiple SF dirs given: {dirs}")
+        return 2
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
     only = [a for a in args if not os.path.isdir(a)] or None
+    if only:
+        unknown = [q for q in only if q not in materialize.TABLES]
+        if unknown:
+            print(
+                f"unknown quer{'y' if len(unknown) == 1 else 'ies'}: "
+                f"{unknown}; known: {sorted(materialize.TABLES)}"
+            )
+            return 2
 
     out_dir = materialize.default_oracle_dir(sf_dir)
     if force and only is None and os.path.isdir(out_dir):

@@ -78,9 +78,16 @@ def main() -> None:
         groups = spark.read.parquet(f"{args.out}/object_groups").select(
             "url", "group_name"
         )
+        from ner_backend_spark.flagship import KG_MAX_BUCKET
+
         # Stage-resumable KG layer: mentions -> edges -> components ->
-        # canonical -> triples, each committed + checkpointed.
-        kg_res = CheckpointedKgRunner(spark, args.out).run(entities, groups)
+        # canonical -> triples, each committed + checkpointed. The deployed
+        # job runs with the SAME semantic bucket cap the bench and entry
+        # queries engage — uncapped, one template bucket serializes the
+        # pair generation (measured: 48k pages -> 165M candidate pairs).
+        kg_res = CheckpointedKgRunner(
+            spark, args.out, max_bucket_size=KG_MAX_BUCKET
+        ).run(entities, groups)
         summary["triples"] = spark.read.parquet(
             f"{args.out}/kg/triples"
         ).count()
