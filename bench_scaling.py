@@ -142,6 +142,12 @@ def run_level(cores: int) -> dict:
 
     kg_samples = []
     for _ in range(2):
+        # cold pass each time: build_triples persists its entities input
+        # (kg._materialize), and Spark's CacheManager substitutes that cache
+        # into the NEXT pass's identical plan — without clearing, pass 2
+        # would silently skip the whole NER stage and time only the graph
+        # tail (observed: 102 s -> 28 s "improvement" that was cache reuse)
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         entities = run_report(pages, config).entities.select(
             "url", "label", "text"
