@@ -142,11 +142,12 @@ def run_level(cores: int) -> dict:
 
     kg_samples = []
     for _ in range(2):
-        # cold pass each time: build_triples persists its entities input
-        # (kg._materialize), and Spark's CacheManager substitutes that cache
-        # into the NEXT pass's identical plan — without clearing, pass 2
-        # would silently skip the whole NER stage and time only the graph
-        # tail (observed: 102 s -> 28 s "improvement" that was cache reuse)
+        # cold pass each time, defensively: when kg._materialize briefly
+        # used persist() here, the CacheManager substituted the cached
+        # entities into the NEXT pass's identical plan and pass 2 timed
+        # only the graph tail (observed 102 s -> 28 s). _materialize is
+        # back on localCheckpoint (no plan substitution), but clearing
+        # keeps the measurement honest against any future cache use
         spark.catalog.clearCache()
         t0 = time.monotonic()
         entities = run_report(pages, config).entities.select(

@@ -152,7 +152,7 @@ def _tokenize(query: str) -> list[tuple[str, str]]:
 
 
 _ESCAPE_RE = re.compile(
-    r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|x[0-9a-fA-F]{2}|[0-7]{1,3}|.)"
+    r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|x[0-9a-fA-F]{2}|[0-7]{3}|.)"
 )
 _SIMPLE_ESCAPES = {
     "n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b",
@@ -167,18 +167,23 @@ def _unquote(s: str) -> str:
     ``encode('utf-8').decode('unicode_escape')`` round-trip decoded UTF-8
     bytes as Latin-1 and mojibake'd every non-ASCII literal ('Müller' ->
     'MÃ¼ller'), silently emptying any group query with a non-ASCII value
-    (round-3 review finding, confirmed by execution).
+    (round-3 review finding, confirmed by execution). Like strconv.Unquote,
+    an UNKNOWN escape is an error (octal must be exactly 3 digits) — a
+    silent guess would make the filter match a different byte string than
+    the reference with no signal.
     """
 
     def sub(m: re.Match) -> str:
         g = m.group(1)
-        if g[0] in "uU":
+        if len(g) > 1 and g[0] in "uU":
             return chr(int(g[1:], 16))
-        if g[0] == "x":
+        if len(g) > 1 and g[0] == "x":
             return chr(int(g[1:], 16))
-        if g[0] in "01234567":
+        if len(g) == 3 and all(c in "01234567" for c in g):
             return chr(int(g, 8))
-        return _SIMPLE_ESCAPES.get(g, g)
+        if g in _SIMPLE_ESCAPES:
+            return _SIMPLE_ESCAPES[g]
+        raise QueryParseError(f"invalid escape sequence \\{g} in {s!r}")
 
     return _ESCAPE_RE.sub(sub, s[1:-1])
 

@@ -66,10 +66,25 @@ def _fs_and_path(path: str, spark: SparkSession | None = None):
     """Hadoop FileSystem + Path for ``path`` — works for file:/, hdfs:/,
     s3a:/ alike. Plain os.path here silently broke every object-store
     deployment (round-3 review finding: request_stop's docstring promised
-    object-store visibility while writing a LOCAL file named 's3a:...')."""
+    object-store visibility while writing a LOCAL file named 's3a:...').
+
+    With no SparkSession in the process (an operator tool issuing an
+    out-of-band stop), a LOCAL path falls back to os.path, but a remote
+    scheme raises — writing the flag to a local file named 's3a:...' would
+    silently never reach the running job.
+    """
+    import re as _re
+
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
-        return None, None  # no JVM yet: caller falls back to os.path
+        m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", path)
+        if m and m.group(1) not in ("file", "local"):
+            raise RuntimeError(
+                f"no active SparkSession to reach {m.group(1)}:// path "
+                f"{path!r}; start one (or run the stop tool on a node that "
+                "has the job's Hadoop configuration)"
+            )
+        return None, None  # local path: caller falls back to os.path
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -207,6 +207,10 @@ class CheckpointedKgRunner:
                 self.num_hashes,
                 self.bands,
                 self.max_bucket_size,
+                # only the edges are committed here; the canonical stage
+                # re-derives alias hits from the on-disk mentions table, so
+                # eagerly materializing hits would be pure thrown-away work
+                materialize_hits=False,
             )
             self._commit("edges", edges, run_id, t0, lineage)
             ran.append("edges")

@@ -40,18 +40,22 @@ def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     ``localCheckpoint``.
 
     ``eager=False`` (reuse-only sites: the banded self-join input, the
-    entities frame consumed twice): plain ``persist`` — lineage stays
-    intact, so an executor loss recomputes safely WITHOUT reliable storage,
-    and the driver-side ContextCleaner unpersists the blocks when the
-    DataFrame goes out of scope (a lazy reliable checkpoint here could
-    never be unpersisted at the right time and leaked a cache per KG query
-    in long-lived sessions — round-3 review finding).
+    entities frame consumed twice): ``localCheckpoint`` — NOT ``persist``,
+    whose entry in the SQL CacheManager is held strongly and is never
+    reclaimed by the ContextCleaner (verified: the entry survives del +
+    gc), leaking one cache per KG query in long-lived sessions AND
+    silently substituting itself into later identical plans (it turned a
+    benchmark's second cold pass into a warm one). localCheckpoint is
+    RDD-level: no CacheManager entry, no plan substitution, blocks
+    reclaimed when the RDD reference drops. The trade: lineage truncation,
+    so an executor loss during the single consuming query fails that query
+    (re-run; the checkpoint/resume layer makes re-runs cheap) — the CC
+    fixpoint, where lineage cuts must survive executor loss, stays on the
+    reliable eager path below.
     """
     sc = df.sparkSession.sparkContext
     if not eager:
-        from pyspark import StorageLevel
-
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df.localCheckpoint(eager=False)
     if sc.getCheckpointDir() is not None:
         from pyspark import StorageLevel
 
@@ -447,6 +451,7 @@ def mention_edges(
     num_hashes: int = 15,
     bands: int = 5,
     max_bucket_size: int | None = None,
+    materialize_hits: bool = True,
 ) -> tuple[DataFrame, DataFrame | None]:
     """(edges, alias_hits): the similarity graph clusters are computed over.
 
@@ -454,6 +459,10 @@ def mention_edges(
     (mention -> virtual per-dictionary-entry node, for alias hits) — the
     virtual node connects every mention matching the same dictionary entry
     without materializing the within-entry clique.
+
+    ``materialize_hits=False`` skips the eager hits materialization for
+    callers that only consume the edges (the stage-checkpointed runner
+    re-derives alias hits at its canonical stage from on-disk mentions).
     """
     pairs = lsh_candidate_pairs(
         mentions, num_hashes, bands, max_bucket_size=max_bucket_size
@@ -466,7 +475,9 @@ def mention_edges(
     # materialized: hits is consumed by the alias edges AND (lazily, in the
     # returned plan) by canonical_map's comp_alias branch, which would
     # otherwise re-derive mentions after the caller unpersists them
-    hits = _materialize(alias_candidates(mentions, alias_df))
+    hits = alias_candidates(mentions, alias_df)
+    if materialize_hits:
+        hits = _materialize(hits)
     alias_edges = hits.select(
         F.col("mention_id").alias("src"),
         F.xxhash64(F.concat(F.lit("alias:"), "canonical_id")).alias("dst"),

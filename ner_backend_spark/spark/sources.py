@@ -71,7 +71,11 @@ def parse_objects(
     """
     src = df.select(
         F.col(path_col).alias("url"),
-        F.col(data_col).alias("data"),
+        # NULL data normalizes to the empty object up front: greatest/least
+        # SKIP null arguments, so a null payload downstream would otherwise
+        # yield a phantom error-free chunk with raw_size = max_chunk_size
+        # (round-3 review finding, confirmed by execution)
+        F.coalesce(F.col(data_col), F.lit(b"")).alias("data"),
         object_ext(F.col(path_col)).alias("_ext"),
     )
 
