@@ -88,6 +88,21 @@ def _load_merged(params: dict) -> object:
     )
 
 
+def _load_python_class(params: dict) -> object:
+    """P4 python plugin models (plugin/plugin-python; Go side
+    internal/core/python/model.go:86-89): a user-supplied model class by
+    dotted path, constructed with the params dict. The Spark rendering of
+    the reference's out-of-process plugin: the class resolves inside each
+    executor worker (config ships only the import path — no pickled code),
+    so any importable ``predict(bytes) -> list[Entity]`` implementation
+    plugs into the tagger kernel unchanged."""
+    import importlib
+
+    module_path, _, cls_name = params["class"].rpartition(".")
+    cls = getattr(importlib.import_module(module_path), cls_name)
+    return cls(params)
+
+
 # Registry, mirroring NewModelLoaders (model.go:56-75). Loaders take a params
 # dict rather than a model dir: this engine ships model state via Spark
 # broadcast, not via object-store downloads.
@@ -98,6 +113,7 @@ MODEL_LOADERS: dict[str, Callable[[dict], object]] = {
     ),
     "cnn_crf": _load_cnn_crf,
     "merged": _load_merged,
+    "python_class": _load_python_class,
 }
 
 

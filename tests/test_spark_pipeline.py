@@ -138,3 +138,33 @@ def test_token_counts_and_previews(spark):
     assert len(previews) == 3
     for p in previews:
         assert len(p["tokens"]) == len(p["tags"])
+
+
+def test_write_outputs_runs_model_pass_once(spark, tmp_path):
+    """Round-3 review: write_outputs materializes 5-6 tables from
+    report_rows; without materializing the rows first, EVERY sink write
+    re-ran the full model pass. Count actual model invocations via a
+    worker-side side-channel file (local mode shares the FS)."""
+    import glob
+    import os
+
+    from ner_backend_spark.spark.pipeline import run_report, write_outputs
+    from ner_backend_spark.spark.tagger import ReportConfig
+
+    calls_dir = str(tmp_path / "calls")
+    os.makedirs(calls_dir)
+
+    pages = fixtures.pages_df(spark, n=40).select("url", "text")
+    # the python_class plugin loader (P4) resolves the model inside each
+    # executor worker by dotted path — no pickled code, like the reference
+    config = ReportConfig.make(
+        model_type="python_class",
+        model_params={
+            "class": "tests.counting_model_fixture.CountingModel",
+            "dir": calls_dir,
+        },
+    )
+    out = run_report(pages, config)
+    write_outputs(out, str(tmp_path / "report"), n_buckets=4)
+    n_calls = len(glob.glob(f"{calls_dir}/*"))
+    assert n_calls == 40, f"model ran {n_calls} times for 40 docs"
