@@ -494,6 +494,44 @@ def _pipeline_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_report(docs, _ner_pipeline_config()).entities
 
 
+def _q_task_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed report lifecycle under the driver gate (A4-A8 status/
+    counter rollup + M4 resume + M6 task statuses, previously pytest-only):
+    run the flagship report with one poisoned commit group (FAILED rows,
+    processor.go:140-153 semantics), resume to retry exactly that group,
+    then roll up the checkpoint table per bucket. Output is deterministic —
+    timestamps only order attempts, they are never emitted."""
+    import os
+    import shutil
+    import tempfile
+
+    from ner_backend_spark.flagship import TASK_ROLLUP
+    from ner_backend_spark.spark.checkpoint import (
+        CheckpointedReportRunner,
+        task_rollup,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"ner_task_rollup_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    cfg = _ner_pipeline_config()
+    kw = dict(
+        n_buckets=TASK_ROLLUP["n_buckets"],
+        buckets_per_commit=TASK_ROLLUP["buckets_per_commit"],
+    )
+    CheckpointedReportRunner(
+        spark, cfg, base,
+        fail_buckets={TASK_ROLLUP["poison_bucket"]}, **kw,
+    ).run(docs)
+    CheckpointedReportRunner(spark, cfg, base, **kw).run(docs)
+    return task_rollup(spark, base)
+
+
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline: mentions -> LSH blocking -> link scoring ->
     connected components -> canonicalization -> (subj, pred, obj) triples."""
@@ -770,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merged_model": _q_merged_model,
         "q_embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "q_ner_pipeline": _q_ner_pipeline,
+        "q_task_rollup": _q_task_rollup,
         "q_presidio_pages": _q_presidio_pages,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
@@ -832,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
             "q_winnow_fingerprints",
             "q_winnow_neardups",
             "q_bpe_encode",
+            "q_task_rollup",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —
@@ -996,10 +1036,10 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE doc_id = c
             )
             SELECT lang, count(*) AS n_docs,
-                   sum(CAST(len(list_filter(
+                   CAST(sum(len(list_filter(
                        regexp_extract_all(text,
                          '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
-                       x -> trim(x) != '')) AS BIGINT)) AS total_tokens
+                       x -> trim(x) != ''))) AS BIGINT) AS total_tokens
             FROM gated JOIN canon USING (doc_id)
             GROUP BY lang
         """,

@@ -7,6 +7,15 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a noop-format write (full computation,
 no driver collect bottleneck). Extras include docs/sec for the flagship NER
 pipeline, which is the throughput figure BASELINE.md tracks.
+
+Stderr (including the Spark JVM's log4j output, which inherits fd 2) is
+captured to a file so ERROR-level Spark log lines can be counted per query —
+a retried task/stage inflates a timing without failing the run (rc stays 0),
+and round 3's driver bench carried exactly such a transient DAGScheduler
+trace that the harness never surfaced. The JSON line now reports
+`n_spark_errors` total plus a per-query breakdown for any query with a
+nonzero count; the full captured log is replayed to the real stderr at exit
+so the driver's tail capture is unchanged.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,11 +69,50 @@ def warm_python_workers(spark) -> None:
     force(spark.range(0, 256, 1, 64).mapInPandas(ident, "id long"))
 
 
+class StderrCapture:
+    """Redirect fd 2 to a temp file (the Spark JVM inherits it at launch),
+    expose incremental ERROR-line counts, and replay everything to the
+    original stderr on close."""
+
+    def __init__(self) -> None:
+        sys.stderr.flush()
+        self._orig_fd = os.dup(2)
+        self._log = tempfile.NamedTemporaryFile(
+            mode="w+b", prefix="bench_stderr_", suffix=".log", delete=False
+        )
+        os.dup2(self._log.fileno(), 2)
+        self._offset = 0
+
+    def new_error_lines(self) -> int:
+        """ERROR-level Spark log lines appended since the last call."""
+        sys.stderr.flush()
+        with open(self._log.name, "rb") as f:
+            f.seek(self._offset)
+            chunk = f.read()
+        self._offset += len(chunk)
+        return sum(
+            1
+            for ln in chunk.decode("utf-8", "replace").splitlines()
+            if " ERROR " in ln
+        )
+
+    def close(self) -> None:
+        sys.stderr.flush()
+        os.dup2(self._orig_fd, 2)
+        os.close(self._orig_fd)
+        with open(self._log.name, "rb") as f:
+            data = f.read()
+        if data:
+            os.write(2, data)
+        os.unlink(self._log.name)
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
     from ner_backend_spark.spark.session import get_spark
 
+    cap = StderrCapture()
     spark = get_spark("ner-backend-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
@@ -75,8 +124,10 @@ def main() -> None:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     warm_python_workers(spark)
+    cap.new_error_lines()  # drain startup noise; timed queries start clean
 
     timings: dict[str, float] = {}
+    spark_errors: dict[str, int] = {}
     for name in BENCH_QUERIES:
         # clock starts BEFORE construction: operators that materialize
         # intermediates eagerly (localCheckpoint inside the KG pipeline)
@@ -84,6 +135,9 @@ def main() -> None:
         t0 = time.monotonic()
         force(qs[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
+        n_err = cap.new_error_lines()
+        if n_err:
+            spark_errors[name] = n_err
 
     total = round(sum(timings.values()), 3)
     ner_secs = timings.get("q_ner_pipeline", float("nan"))
@@ -96,9 +150,12 @@ def main() -> None:
         "cpus": int(CPUS) if str(CPUS).isdigit() else CPUS,
         "n_docs": n_docs,
         "ner_docs_per_sec": round(n_docs / ner_secs, 1) if ner_secs else None,
+        "n_spark_errors": sum(spark_errors.values()),
+        "spark_errors_by_query": spark_errors,
     }
-    print(json.dumps(result))
     spark.stop()
+    cap.close()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -243,12 +243,20 @@ def save_artifact(arrays: dict[str, np.ndarray], path: str = WEIGHTS_FILE) -> No
 
 @lru_cache(maxsize=1)
 def load_artifact(path: str = WEIGHTS_FILE) -> dict[str, np.ndarray]:
-    """Load (or, as a last resort, retrain in-process) the weights.
+    """Load the weights; missing artifact is an ERROR, not a retrain.
 
     Reads through importlib.resources so the artifact also resolves when
     the package ships as a ``--py-files`` zip (spark-submit deploy path:
-    executors import from the zip, where plain os.path fails). The
-    in-process retrain fallback is deterministic-identical, just slow.
+    executors import from the zip, where plain os.path fails).
+
+    A missing artifact used to fall back to a silent in-process retrain —
+    but on a cluster that means EVERY executor Python worker retrains
+    (~30s each, per process), a hard-to-diagnose fleet-wide slowdown that
+    masks the real bug (a packaging omission), and the retrained result
+    skipped the ARTIFACT_VERSION check (round-4 advice). Now the fallback
+    is gated behind NER_SPARK_ALLOW_CRF_RETRAIN=1 (an explicit opt-in for
+    dev loops) and logs loudly when taken; otherwise a missing artifact
+    raises with the fix spelled out.
     """
     import io
 
@@ -267,7 +275,26 @@ def load_artifact(path: str = WEIGHTS_FILE) -> dict[str, np.ndarray]:
         except Exception:
             data = None
     if data is None:
-        return train_emissions()
+        if os.environ.get("NER_SPARK_ALLOW_CRF_RETRAIN") == "1":
+            import logging
+
+            logging.getLogger(__name__).error(
+                "crf_weights.npz not found at %s or in package resources; "
+                "retraining in-process because NER_SPARK_ALLOW_CRF_RETRAIN=1 "
+                "— this costs ~30s PER EXECUTOR PYTHON WORKER and should "
+                "never happen in a deployed job",
+                path,
+            )
+            return train_emissions()
+        raise FileNotFoundError(
+            f"crf_weights.npz not found at {path} or via "
+            "importlib.resources('ner_backend_spark.core') — the artifact "
+            "was omitted from the deployment package. Ship it with the "
+            "--py-files zip (tools/submit_pipeline.py includes it) or run "
+            "tools/train_crf.py to regenerate. Set "
+            "NER_SPARK_ALLOW_CRF_RETRAIN=1 to opt into a slow in-process "
+            "retrain for local development only."
+        )
     with np.load(io.BytesIO(data)) as z:
         if str(z["version"]) != ARTIFACT_VERSION:
             raise ValueError(

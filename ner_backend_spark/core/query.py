@@ -154,38 +154,60 @@ def _tokenize(query: str) -> list[tuple[str, str]]:
 _ESCAPE_RE = re.compile(
     r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|x[0-9a-fA-F]{2}|[0-7]{3}|.)"
 )
+# NOTE: no "'" entry — Go strconv.Unquote rejects \' inside a double-quoted
+# string ('unknown escape'), and the reference parser surfaces that error
 _SIMPLE_ESCAPES = {
     "n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b",
-    "f": "\f", "v": "\v", "\\": "\\", '"': '"', "'": "'",
+    "f": "\f", "v": "\v", "\\": "\\", '"': '"',
 }
 
 
 def _unquote(s: str) -> str:
     """participle.Unquote ≙ Go strconv.Unquote: resolve standard escapes.
 
-    Escapes are substituted directly on the str — the previous
-    ``encode('utf-8').decode('unicode_escape')`` round-trip decoded UTF-8
-    bytes as Latin-1 and mojibake'd every non-ASCII literal ('Müller' ->
-    'MÃ¼ller'), silently emptying any group query with a non-ASCII value
-    (round-3 review finding, confirmed by execution). Like strconv.Unquote,
-    an UNKNOWN escape is an error (octal must be exactly 3 digits) — a
+    Byte semantics, not code-point semantics (round-4 advice): in a Go
+    double-quoted string, ``\\xNN`` and ``\\NNN`` (octal) escapes contribute
+    RAW BYTES — ``"\\xc3\\xbc"`` is the two UTF-8 bytes of 'ü', not the two
+    code points U+00C3 U+00BC. So escapes are decoded into a byte buffer
+    (literal text and \\u/\\U escapes contribute their UTF-8 encoding, byte
+    escapes a single byte) and the assembled buffer is UTF-8-decoded once.
+    Byte escapes that don't form valid UTF-8 are preserved via
+    surrogateescape — like Go's byte-wise comparison, they can never equal
+    any real (valid-UTF-8) document text. Like strconv.Unquote, an UNKNOWN
+    escape is an error (octal must be exactly 3 digits and <= \\377, \\u may
+    not encode a surrogate half, \\' is rejected in double quotes) — a
     silent guess would make the filter match a different byte string than
     the reference with no signal.
     """
-
-    def sub(m: re.Match) -> str:
+    out = bytearray()
+    body = s[1:-1]
+    pos = 0
+    for m in _ESCAPE_RE.finditer(body):
+        out += body[pos : m.start()].encode("utf-8")
+        pos = m.end()
         g = m.group(1)
         if len(g) > 1 and g[0] in "uU":
-            return chr(int(g[1:], 16))
-        if len(g) > 1 and g[0] == "x":
-            return chr(int(g[1:], 16))
-        if len(g) == 3 and all(c in "01234567" for c in g):
-            return chr(int(g, 8))
-        if g in _SIMPLE_ESCAPES:
-            return _SIMPLE_ESCAPES[g]
-        raise QueryParseError(f"invalid escape sequence \\{g} in {s!r}")
-
-    return _ESCAPE_RE.sub(sub, s[1:-1])
+            cp = int(g[1:], 16)
+            if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                raise QueryParseError(
+                    f"invalid escape sequence \\{g} in {s!r}"
+                )
+            out += chr(cp).encode("utf-8")
+        elif len(g) > 1 and g[0] == "x":
+            out.append(int(g[1:], 16))
+        elif len(g) == 3 and all(c in "01234567" for c in g):
+            v = int(g, 8)
+            if v > 0xFF:
+                raise QueryParseError(
+                    f"invalid escape sequence \\{g} in {s!r}"
+                )
+            out.append(v)
+        elif g in _SIMPLE_ESCAPES:
+            out += _SIMPLE_ESCAPES[g].encode("utf-8")
+        else:
+            raise QueryParseError(f"invalid escape sequence \\{g} in {s!r}")
+    out += body[pos:].encode("utf-8")
+    return out.decode("utf-8", "surrogateescape")
 
 
 class _Parser:

@@ -63,6 +63,22 @@ STRATIFIED_SAMPLE = dict(
 )
 
 
+# Checkpointed-rollup gate query (q_task_rollup): a small report run with
+# one poisoned commit group, then a clean resume — shared by the Spark query
+# and the pure-Python oracle so the FAILED->retried attempt counts agree.
+TASK_ROLLUP = dict(n_buckets=16, buckets_per_commit=4, poison_bucket=1)
+
+
+def task_rollup_attempts(partition_id: int) -> int:
+    """Attempt count for a bucket under the TASK_ROLLUP scenario: the first
+    run fails the whole commit group containing poison_bucket (FAILED rows),
+    the resume retries exactly that group (COMPLETED rows) — 2 attempts for
+    its buckets, 1 for the rest. Pure function of the constants above."""
+    per = TASK_ROLLUP["buckets_per_commit"]
+    poisoned_group = TASK_ROLLUP["poison_bucket"] // per
+    return 2 if partition_id // per == poisoned_group else 1
+
+
 def sf_page_count(sf_dir: str) -> int:
     """Page count for the presidio query at a given SF dir: tracks the
     documents table's cardinality (parquet footer only — no scan) so the

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "10"
+ORACLE_VERSION = "11"
 
 _S = pa.string()
 _L = pa.int64()
@@ -99,6 +99,19 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_bpe_encode": (
         "oracle_bpe_encode",
         pa.schema([("doc_id", _L), ("n_bpe_tokens", _L), ("ids_hash", _S)]),
+    ),
+    "q_task_rollup": (
+        "oracle_task_rollup",
+        pa.schema(
+            [
+                ("partition_id", _L),
+                ("status", _S),
+                ("n_attempts", _L),
+                ("n_docs", _L),
+                ("n_entities", _L),
+                ("n_tokens", _L),
+            ]
+        ),
     ),
 }
 

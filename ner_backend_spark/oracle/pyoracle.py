@@ -130,6 +130,29 @@ def oracle_presidio_pages(sf_dir: str) -> list[tuple]:
     return rows
 
 
+def oracle_task_rollup(sf_dir: str) -> list[tuple]:
+    """(partition_id, status, n_attempts, n_docs, n_entities, n_tokens) —
+    the checkpointed-report rollup recomputed single-threaded: bucket
+    assignment via the xxhash64 replica (pmod semantics: Python ``%`` with
+    a positive modulus is non-negative, exactly Spark's pmod), counters from
+    the same per-document kernel, attempt counts from the deterministic
+    poisoned-then-resumed scenario (flagship.TASK_ROLLUP /
+    task_rollup_attempts)."""
+    n_buckets = flagship.TASK_ROLLUP["n_buckets"]
+    stats = {p: [0, 0, 0] for p in range(n_buckets)}
+    config = flagship.ner_pipeline_config()
+    for url, res in _run_config(_doc_urls_texts(sf_dir), config):
+        p = spark_xxhash64(url) % n_buckets
+        s = stats[p]
+        s[0] += 1
+        s[1] += len(res.entities)
+        s[2] += res.total_tokens
+    return [
+        (p, "COMPLETED", flagship.task_rollup_attempts(p), *stats[p])
+        for p in range(n_buckets)
+    ]
+
+
 def oracle_previews(sf_dir: str) -> list[tuple]:
     """(url, n_tokens, n_tags)."""
     rows = []

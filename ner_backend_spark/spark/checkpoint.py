@@ -411,6 +411,47 @@ class CheckpointedReportRunner:
         )
 
 
+def task_rollup(spark: SparkSession, base_path: str) -> DataFrame:
+    """Deterministic per-bucket status/counter rollup of the checkpoint
+    table (the DataFrame face of A4-A8, driver-gate-comparable: timestamps
+    are used only to ORDER attempts, never emitted).
+
+    Reference semantics (internal/api/api.go:886-1011 GetReportMetrics +
+    processor.go:140-153 task statuses): a bucket is COMPLETED if ANY
+    attempt completed, FAILED only while no attempt has; counters come from
+    the latest COMPLETED attempt (max end_ts — the same max_by rule as
+    :func:`throughput_metrics`, so a FAILED retry's zero counters can never
+    shadow a completed attempt's), zero for never-completed buckets.
+    """
+    ck = read_checkpoints(spark, base_path)
+    attempts = ck.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_attempts"),
+        F.when(
+            F.array_contains(F.collect_set("status"), STATUS_COMPLETED),
+            F.lit(STATUS_COMPLETED),
+        )
+        .otherwise(F.lit(STATUS_FAILED))
+        .alias("status"),
+    )
+    latest_done = (
+        ck.filter(F.col("status") == STATUS_COMPLETED)
+        .groupBy("partition_id")
+        .agg(
+            F.max_by("n_docs", "end_ts").alias("n_docs"),
+            F.max_by("n_entities", "end_ts").alias("n_entities"),
+            F.max_by("n_tokens", "end_ts").alias("n_tokens"),
+        )
+    )
+    return (
+        attempts.join(latest_done, "partition_id", "left")
+        .na.fill(0, ["n_docs", "n_entities", "n_tokens"])
+        .select(
+            "partition_id", "status", "n_attempts",
+            "n_docs", "n_entities", "n_tokens",
+        )
+    )
+
+
 def throughput_metrics(spark: SparkSession, base_path: str) -> dict:
     """Reference metric definitions (internal/api/api.go:886-1011):
     wall = MAX(end_ts) - MIN(start_ts); tokens/docs/entities summed over

@@ -433,8 +433,15 @@ def near_duplicates_minhash(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     # localCheckpoint (not persist) so the one-pass signature computation is
     # reused by both the banding join and the verification join without
-    # leaving a persisted RDD behind after the query completes.
-    sigs = sigs.localCheckpoint(eager=False)
+    # leaving a persisted RDD behind after the query completes. eager=True:
+    # with a lazy checkpoint, the bucket-cap's broadcast-exchange job
+    # materializes it mid-flight and truncates lineage while the consuming
+    # job's earlier stages are still reporting — every late task-completion
+    # event then logs "attempted to access non-existent accumulator"
+    # (hundreds of DAGScheduler ERROR lines per run, the round-3 bench-tail
+    # trace). Eager materialization completes as its own job before any
+    # consumer plans against it; measured timing is identical.
+    sigs = sigs.localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(
         sigs, bands, num_hashes // bands, max_bucket_size=max_bucket_size
     )
@@ -648,8 +655,11 @@ def simhash_near_duplicates(
     """
     sigs = simhash_signatures(df, id_col, text_col)
     # one kernel pass: the plan references sigs up to 4x (size agg, anti
-    # left, and both self-join sides) — (id, simhash) is 16 bytes/doc
-    sigs = sigs.localCheckpoint(eager=False)
+    # left, and both self-join sides) — (id, simhash) is 16 bytes/doc.
+    # eager=True for the same reason as near_duplicates_minhash: a lazy
+    # checkpoint materialized by the cap's broadcast job truncates lineage
+    # mid-flight and floods the log with non-existent-accumulator ERRORs.
+    sigs = sigs.localCheckpoint(eager=True)
     tables = simhash_blocking(max_hamming, n_blocks)
     keyed = sigs.select(
         "id",

@@ -131,12 +131,18 @@ def write_outputs(
         # every output table is a projection of report_rows: materialize
         # the model pass ONCE, not once per sink write (5-6 redundant full
         # NER passes otherwise — days of inference at the 100 TB design
-        # point; round-3 review finding). _materialize keeps lineage-safe
-        # fault tolerance (persist) on the lazy path.
+        # point; round-3 review finding). eager=True: with a checkpoint dir
+        # configured (any real deployment) this is a reliable checkpoint, so
+        # an executor loss during the six sink writes recomputes from
+        # fault-tolerant storage instead of failing the report; without one
+        # (local benches) it is an eager localCheckpoint, which truncates
+        # lineage as its own job before the first write plans against it
+        # (a LAZY checkpoint materialized mid-write floods the log with
+        # non-existent-accumulator ERRORs — see near_duplicates_minhash).
         from .kg import _materialize
 
         out = _derive_outputs(
-            _materialize(out.report_rows, eager=False), out.config
+            _materialize(out.report_rows, eager=True), out.config
         )
     sink.write(out.entities, "entities", spec=bucket_spec, mode=mode)
     sink.write(out.object_groups, "object_groups", mode=mode)

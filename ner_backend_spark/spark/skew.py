@@ -86,19 +86,45 @@ def salted_join_hot_keys(
     """fact JOIN dim on key, salting only hot keys.
 
     Hot fact rows get a CONTENT-DERIVED salt (xxhash64 over ``salt_cols``,
-    default: every fact column) — never monotonically_increasing_id, whose
-    value changes when a retried map task re-fetches shuffle rows in a
-    different order, silently losing/duplicating rows across reducers
-    (SPARK-23207-class hazard; round-3 review finding). Identical duplicate
-    rows share a salt, which only costs balance, never correctness. The dim
-    rows for hot keys are replicated n_salts times (explode) so every
-    (key, salt) finds its match. Cold keys keep salt = 0 with a single dim
-    copy: no replication cost.
+    default: every hashable fact column) — never
+    monotonically_increasing_id, whose value changes when a retried map
+    task re-fetches shuffle rows in a different order, silently
+    losing/duplicating rows across reducers (SPARK-23207-class hazard;
+    round-3 review finding). Identical duplicate rows share a salt, which
+    only costs balance, never correctness — callers whose hot keys are
+    dominated by exact-duplicate rows should pass high-entropy
+    ``salt_cols`` (e.g. a source offset) or the salt degenerates to one
+    bucket per distinct row. The default skips columns xxhash64 cannot
+    hash (MapType, incl. nested — AnalysisException otherwise; round-4
+    advice) and raises if nothing hashable remains rather than salting on
+    a constant. The dim rows for hot keys are replicated n_salts times
+    (explode) so every (key, salt) finds its match. Cold keys keep
+    salt = 0 with a single dim copy: no replication cost.
     """
     hot = hot_keys(fact, key_col, threshold_fraction).select(
         F.col(key_col).alias("__hot_key")
     )
-    salt_src = [F.col(c) for c in (salt_cols or fact.columns)]
+    if salt_cols is None:
+        from pyspark.sql import types as T
+
+        def hashable(dt) -> bool:
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(hashable(f.dataType) for f in dt.fields)
+            return True
+
+        salt_cols = [
+            f.name for f in fact.schema.fields if hashable(f.dataType)
+        ]
+        if not salt_cols:
+            raise ValueError(
+                "salted_join_hot_keys: no xxhash64-hashable fact columns "
+                "for the default salt; pass salt_cols explicitly"
+            )
+    salt_src = [F.col(c) for c in salt_cols]
     fact_s = (
         fact.join(
             F.broadcast(hot), fact[key_col] == F.col("__hot_key"), "left"

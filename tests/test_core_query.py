@@ -157,3 +157,35 @@ def test_unquote_preserves_non_ascii():
     # escapes still resolve
     f3 = parse_query('X = "a\\"b\\u00fcc"')
     assert f3.matches({"X": [SimpleNamespace(text='a"büc')]})
+
+
+def test_unquote_byte_escape_semantics():
+    """Round-4 advice: Go strconv.Unquote treats \\xNN / octal escapes as
+    raw BYTES in double-quoted strings — "\\xc3\\xbc" is 'ü' (its UTF-8
+    bytes), not 'Ã¼' (two code points); \\' is rejected; octal > \\377 and
+    surrogate \\u escapes are errors."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from ner_backend_spark.core.query import (
+        QueryParseError,
+        _unquote,
+        parse_query,
+    )
+
+    assert _unquote('"\\xc3\\xbc"') == "ü"
+    assert _unquote('"\\303\\274"') == "ü"  # same bytes, octal
+    assert _unquote('"\\x41\\102"') == "AB"  # ASCII-range bytes
+    f = parse_query('NAME = "M\\xc3\\xbcller"')
+    assert f.matches({"NAME": [SimpleNamespace(text="Müller")]})
+    # a lone invalid-UTF-8 byte never matches real text, like Go's
+    # byte-wise compare against valid-UTF-8 documents
+    f2 = parse_query('X = "\\xff"')
+    assert not f2.matches({"X": [SimpleNamespace(text="\xff")]})
+    with pytest.raises(QueryParseError):
+        _unquote("\"\\'\"")  # strconv.Unquote: unknown escape in ""
+    with pytest.raises(QueryParseError):
+        _unquote('"\\777"')  # octal value > 255
+    with pytest.raises(QueryParseError):
+        _unquote('"\\ud800"')  # surrogate half

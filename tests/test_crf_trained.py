@@ -117,6 +117,29 @@ def test_predict_offsets_point_into_original_text(model):
         assert text[e.start : e.end].decode() == e.text
 
 
+def test_load_artifact_missing_fails_fast(monkeypatch, tmp_path):
+    """Round-4 advice: a packaging omission must raise with the fix named,
+    not silently retrain in every executor Python worker (~30s each). The
+    retrain fallback is opt-in via NER_SPARK_ALLOW_CRF_RETRAIN=1."""
+    import importlib.resources
+
+    import pytest
+
+    from ner_backend_spark.core import crf_train
+
+    def no_resources(_pkg):
+        raise FileNotFoundError("package resources unavailable")
+
+    monkeypatch.setattr(importlib.resources, "files", no_resources)
+    monkeypatch.delenv("NER_SPARK_ALLOW_CRF_RETRAIN", raising=False)
+    crf_train.load_artifact.cache_clear()
+    try:
+        with pytest.raises(FileNotFoundError, match="py-files"):
+            crf_train.load_artifact(str(tmp_path / "nope.npz"))
+    finally:
+        crf_train.load_artifact.cache_clear()
+
+
 def test_retrain_reproduces_artifact():
     """tools/train_crf.py determinism: retraining matches the committed
     artifact bit-for-bit (fixed seeds, zero init, no optimizer RNG)."""

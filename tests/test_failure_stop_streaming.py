@@ -88,6 +88,40 @@ def test_failed_buckets_recorded_and_retried(spark, pages, tmp_path):
     assert got == want
 
 
+def test_task_rollup_dataframe(spark, pages, tmp_path):
+    """task_rollup (the q_task_rollup gate query's engine): FAILED status
+    with zero counters while a bucket has no completed attempt; after the
+    resume, COMPLETED everywhere, counters from the completed attempt, and
+    attempt counts reflecting the retry."""
+    from ner_backend_spark.spark.checkpoint import task_rollup
+
+    base = str(tmp_path / "report")
+    CheckpointedReportRunner(
+        spark, CONFIG, base, n_buckets=8, buckets_per_commit=2,
+        fail_buckets={2},
+    ).run(pages)
+
+    mid = {r["partition_id"]: r for r in task_rollup(spark, base).collect()}
+    assert mid[2]["status"] == STATUS_FAILED
+    assert mid[3]["status"] == STATUS_FAILED
+    assert (mid[2]["n_docs"], mid[2]["n_entities"], mid[2]["n_tokens"]) == (0, 0, 0)
+    assert mid[0]["status"] == "COMPLETED"
+    assert mid[0]["n_attempts"] == 1
+
+    CheckpointedReportRunner(
+        spark, CONFIG, base, n_buckets=8, buckets_per_commit=2
+    ).run(pages)
+    done = {r["partition_id"]: r for r in task_rollup(spark, base).collect()}
+    assert set(done) == set(range(8))
+    assert all(r["status"] == "COMPLETED" for r in done.values())
+    assert {p: r["n_attempts"] for p, r in done.items()} == {
+        p: (2 if p in (2, 3) else 1) for p in range(8)
+    }
+    # counters come from the COMPLETED attempt, not the FAILED zero rows
+    n_docs_total = sum(r["n_docs"] for r in done.values())
+    assert n_docs_total == pages.count()
+
+
 def test_stop_flag_aborts_cleanly_and_resumes(spark, pages, tmp_path):
     base = str(tmp_path / "report")
     runner = CheckpointedReportRunner(

@@ -56,6 +56,25 @@ def test_salted_join_hot_keys_exact(spark, pages_path):
     assert got == want
 
 
+def test_salted_join_skips_unhashable_salt_cols(spark, pages_path):
+    """Round-4 advice: a MapType fact column must not reach xxhash64 in
+    the default salt (AnalysisException) — the default filters to
+    hashable columns and the join stays exact."""
+    pages = skew.add_domain(spark.read.parquet(pages_path)).withColumn(
+        "props", F.create_map(F.lit("k"), F.col("domain"))
+    )
+    dim_rows = [
+        (d,)
+        for d in {r["domain"] for r in pages.select("domain").distinct().collect()}
+    ]
+    dim = spark.createDataFrame(dim_rows, ["domain"]).withColumn(
+        "dim_val", F.length("domain")
+    )
+    want = pages.join(dim, "domain").count()
+    got = skew.salted_join_hot_keys(pages, dim, "domain", n_salts=4).count()
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # physical plan audits
 

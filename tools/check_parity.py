@@ -1,5 +1,13 @@
 """Driver-gate simulation: run every queries() entry on Spark and its
-oracle_sql() on DuckDB at an arbitrary SF dir, compare sorted value multisets.
+oracle_sql() on DuckDB at an arbitrary SF dir, compare sorted value multisets
+AND result-type families (so an oracle whose values match but whose output
+type differs — e.g. DuckDB sum(BIGINT) silently widening to HUGEINT/int128
+while Spark stays bigint, the round-3 q_curation_stats red cell — is caught
+by this gate before the driver's value hash catches it).
+
+Type families collapse integer/float widths (the driver hash tolerates
+int32-vs-int64) but keep decimal distinct from int/float, which is exactly
+the HUGEINT class of bug.
 
 Usage: python tools/check_parity.py [sf_dir] [name_substring ...]
 """
@@ -17,6 +25,7 @@ sys.path.insert(0, REPO)
 import time  # noqa: E402
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
@@ -40,6 +49,76 @@ def _sort_key(t):
     # NULL-safe, type-heterogeneous ordering: sort by (is-null, str(v)) so a
     # NULL in a numeric column can't make sorted() compare str vs int
     return tuple((v is None, str(v)) for v in t)
+
+
+def _pa_family(t) -> str:
+    """Collapse a pyarrow type into a comparison family: int widths merge,
+    float widths merge, decimal keeps (precision, scale) so HUGEINT
+    (decimal128(38,0) over Arrow) can never alias a plain int."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_pa_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return (
+            "struct<"
+            + ",".join(f"{f.name}:{_pa_family(f.type)}" for f in t)
+            + ">"
+        )
+    return str(t)
+
+
+def _spark_family(dt) -> str:
+    """Map a Spark DataType onto the same family strings as _pa_family."""
+    from pyspark.sql import types as T
+
+    scalar = {
+        T.ByteType: "int", T.ShortType: "int", T.IntegerType: "int",
+        T.LongType: "int", T.FloatType: "float", T.DoubleType: "float",
+        T.StringType: "string", T.BooleanType: "bool",
+        T.BinaryType: "binary", T.DateType: "date",
+        T.TimestampType: "timestamp", T.TimestampNTZType: "timestamp",
+    }
+    for cls, fam in scalar.items():
+        if isinstance(dt, cls):
+            return fam
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_family(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return (
+            "struct<"
+            + ",".join(f"{f.name}:{_spark_family(f.dataType)}" for f in dt)
+            + ">"
+        )
+    return dt.simpleString()
+
+
+def _type_diffs(sdf_schema, d_schema):
+    """Per-column family mismatches between a Spark schema and a dict of
+    {col: pyarrow type} from the oracle result."""
+    spark_fams = {f.name: _spark_family(f.dataType) for f in sdf_schema}
+    diffs = []
+    for col, pa_type in d_schema.items():
+        sf, df = spark_fams.get(col), _pa_family(pa_type)
+        if sf is not None and sf != df:
+            diffs.append(f"{col}: spark={sf} oracle={df}")
+    return diffs
 
 
 def _multiset(rows, cols):
@@ -95,6 +174,20 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             failed.append(name)
             print(f"FAIL {name}: columns {s_cols} vs {d_cols}")
+            continue
+        # type gate: LIMIT 0 re-execution is cheap and yields the oracle's
+        # Arrow schema without re-materializing the result
+        d_schema_tbl = con.execute(
+            f"SELECT * FROM ({oracles[name]}) LIMIT 0"
+        ).arrow()
+        d_schema = {
+            c: d_schema_tbl.schema.field(c).type
+            for c in d_schema_tbl.column_names
+        }
+        tdiffs = _type_diffs(sdf.schema, d_schema)
+        if tdiffs:
+            failed.append(name)
+            print(f"FAIL {name}: result-type divergence: {'; '.join(tdiffs)}")
             continue
         got, want = _multiset(s_rows, s_cols), _multiset(d_rows, d_cols)
         if got != want:
