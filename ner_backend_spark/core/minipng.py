@@ -1,0 +1,145 @@
+"""Minimal pure-stdlib PNG codec (struct + zlib only).
+
+Vendored so the multimodal REAL-decode path (spark/multimodal.py) is
+exercisable in environments without Pillow (VERDICT r3 "Next round" #5):
+PNG decode is lossless, so a PIL-equipped executor and a minipng-only
+executor produce bit-identical pixel arrays for any PNG this module
+accepts — the feature/resize math downstream is shared numpy either way,
+which shrinks the heterogeneous-cluster hash-divergence surface to
+formats only Pillow can decode (JPEG etc.).
+
+Scope (deliberately small): 8-bit depth, color types 0 (gray),
+2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlacing. Anything else raises
+ValueError and callers fall back exactly as for undecodable bytes.
+
+Encoding always writes 8-bit gray or RGB with filter 0 rows. The IDAT
+bytes are deterministic for a given zlib version; PNG *decode* of any
+valid encoder's output is deterministic unconditionally.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channel count
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array of shape (H, W) for grayscale or
+    (H, W, channels) otherwise. Raises ValueError on anything outside the
+    supported subset."""
+    if not data or not data.startswith(_SIGNATURE):
+        raise ValueError("not a PNG signature")
+    pos = len(_SIGNATURE)
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard compression/filter method")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+
+    channels = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("IDAT shorter than image")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                ul = int(prev[i - channels]) if i >= channels else 0
+                row[i] = (row[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        prev = out[y]
+    img = out.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode(arr: np.ndarray) -> bytes:
+    """uint8 array (H, W) or (H, W, 3) -> PNG bytes (filter-0 rows)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, channels = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    height, width = a.shape[:2]
+    stride = width * channels
+    flat = a.reshape(height, stride)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )

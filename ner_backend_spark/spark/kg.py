@@ -362,9 +362,24 @@ def connected_components(
     # node-set below — without this it would be recomputed per consumer.
     base = _materialize(edges.select("src", "dst"))
     cur = base.filter(F.col("src") != F.col("dst")).distinct()
+    # Per-round job count is the KG tail's latency budget (VERDICT r3 "Next
+    # round" #7: ~40 short stages of fixed latency dominate the m10 e2e
+    # efficiency). With a reliable checkpoint dir (real deployments) each
+    # round stays 2 jobs: an eager fault-tolerant checkpoint, then the
+    # convergence checksum — an executor loss mid-fixpoint recomputes from
+    # storage. Without one (local benches), the round is ONE job: a lazy
+    # localCheckpoint whose materializing action IS the checksum aggregate,
+    # halving per-round job latency with identical results.
+    reliable = (
+        edges.sparkSession.sparkContext.getCheckpointDir() is not None
+    )
     prev_sum = None
     for _ in range(max_iter):
-        cur = _materialize(_small_star(_large_star(cur)))
+        nxt = _small_star(_large_star(cur))
+        if reliable:
+            cur = _materialize(nxt)
+        else:
+            cur = nxt.localCheckpoint(eager=False)
         checksum = _edge_checksum(cur)
         if checksum == prev_sum:
             break
@@ -434,14 +449,19 @@ def canonicalize(
     Canonical = the dictionary canonical_id if the cluster touched the
     dictionary, else the lexicographically smallest member surface.
     """
-    mentions = extract_mentions(entities).persist()
+    # Lazy localCheckpoint, not persist/unpersist: the old unpersist() ran
+    # at plan-BUILD time, so by execution nothing was cached and the
+    # mentions subplan (a distinct shuffle over entities) recomputed once
+    # per consumer (banding, both score_links sides, alias hits, labeled).
+    # The first consuming job materializes the checkpoint; the rest reuse
+    # its blocks, and the blocks are reclaimed when the RDD reference drops
+    # (no CacheManager entry — see _materialize's docstring).
+    mentions = _materialize(extract_mentions(entities), eager=False)
     edges, hits = mention_edges(
         mentions, alias_df, threshold, num_hashes, bands, max_bucket_size
     )
     comp = connected_components(edges)
-    out = canonical_map(mentions, comp, hits)
-    mentions.unpersist()
-    return out
+    return canonical_map(mentions, comp, hits)
 
 
 def mention_edges(
@@ -531,24 +551,24 @@ def canonical_map(
     )
     labeled = _materialize(labeled)
 
-    # representative surface: smallest (norm, text) in the component
-    rep = labeled.groupBy("component").agg(
-        F.min(F.struct("norm", "text")).alias("rep")
-    ).select("component", F.col("rep.text").alias("rep_text"))
-
+    # ONE aggregation pass picks both the representative surface (smallest
+    # (norm, text) in the component) and the dictionary canonical id:
+    # min(canonical_id) skips nulls, so left-joining hits before the groupBy
+    # gives exactly the old separate comp_alias aggregate — fused to save a
+    # shuffle and a join per query (VERDICT r3 "Next round" #7).
+    src = labeled
+    aggs = [F.min(F.struct("norm", "text")).alias("rep")]
     if hits is not None:
-        # canonical dictionary id per component (min for determinism)
-        comp_alias = (
-            labeled.join(hits, "mention_id")
-            .groupBy("component")
-            .agg(F.min("canonical_id").alias("alias_canonical"))
-        )
-        rep = rep.join(comp_alias, "component", "left").select(
+        src = labeled.join(hits, "mention_id", "left")
+        aggs.append(F.min("canonical_id").alias("alias_canonical"))
+    agg = src.groupBy("component").agg(*aggs)
+    if hits is not None:
+        rep = agg.select(
             "component",
-            F.coalesce("alias_canonical", F.col("rep_text")).alias("canonical"),
+            F.coalesce("alias_canonical", F.col("rep.text")).alias("canonical"),
         )
     else:
-        rep = rep.select("component", F.col("rep_text").alias("canonical"))
+        rep = agg.select("component", F.col("rep.text").alias("canonical"))
 
     return labeled.join(rep, "component").select("label", "text", "canonical")
 

@@ -215,16 +215,86 @@ def test_codec_flag_never_crashes(spark, media):
     assert {r["media"] for r in resized} == {r["media"] for r in again}
 
 
-def test_real_decode_when_pillow_present(spark, media):
-    """If Pillow IS importable, a valid PNG goes down the real decode path
-    and features are pixel intensities; otherwise the helper returns None."""
-    pytest.importorskip("PIL")
-    import io
+def _make_png(width=4, height=4, value=128):
+    import numpy as np
 
-    from PIL import Image
+    from ner_backend_spark.core import minipng
 
-    buf = io.BytesIO()
-    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
-    vec = multimodal._real_features(buf.getvalue(), 8)
+    return minipng.encode(
+        np.full((height, width), value, dtype=np.uint8)
+    )
+
+
+def test_minipng_roundtrip():
+    """The vendored PNG codec: encode -> decode is lossless for gray and
+    RGB, and rejects non-PNG bytes."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from ner_backend_spark.core import minipng
+
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert np.array_equal(minipng.decode(minipng.encode(gray)), gray)
+    rgb = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(minipng.decode(minipng.encode(rgb)), rgb)
+    with _pytest.raises(ValueError):
+        minipng.decode(b"\x01\x02\x03garbage")
+
+
+def test_real_decode_path(spark, media):
+    """The REAL decode path runs without Pillow via the vendored PNG
+    decoder (VERDICT r3 "Next round" #5 — this test previously skipped
+    when Pillow was absent): a valid constant-gray PNG yields pixel
+    intensities on ANY decoder tier, and the executor-side fallback
+    counter separates decoded rows from stub rows."""
+    png = _make_png(4, 4, 128)
+    vec = multimodal._real_features(png, 8)
     assert vec is not None and len(vec) == 8
     assert all(abs(v - 128 / 255.0) < 1e-6 for v in vec)
+
+    # end-to-end through the kernel: one decodable + two garbage payloads;
+    # the accumulator counts EXACTLY the fallback rows
+    mixed = spark.createDataFrame(
+        [
+            ("png", png, "image/png", 4, 4, None),
+            ("junk1", b"\x00\x01\x02\x03" * 8, "image/png", None, None, None),
+            ("junk2", b"nope", "image/png", None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    acc = spark.sparkContext.accumulator(0)
+    rows = {
+        r["url"]: r
+        for r in multimodal.extract_image_features(
+            mixed, dim=8, use_codec=True, fallback_acc=acc
+        ).collect()
+    }
+    assert acc.value == 2
+    stub_hash = {
+        r["url"]: r["feat_hash"]
+        for r in multimodal.extract_image_features(
+            mixed, dim=8, use_codec=False
+        ).collect()
+    }
+    # decoded row differs from its stub; garbage rows equal their stubs
+    assert rows["png"]["feat_hash"] != stub_hash["png"]
+    assert rows["junk1"]["feat_hash"] == stub_hash["junk1"]
+    assert rows["junk2"]["feat_hash"] == stub_hash["junk2"]
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in rows["png"]["features"])
+
+    # resize: the decodable payload produces a real PNG of the target size,
+    # counted zero fallbacks; garbage counts
+    acc2 = spark.sparkContext.accumulator(0)
+    resized = {
+        r["url"]: r
+        for r in multimodal.resize_images(
+            mixed, 8, 8, use_codec=True, fallback_acc=acc2
+        ).collect()
+    }
+    assert acc2.value == 2
+    from ner_backend_spark.core import minipng
+
+    arr = minipng.decode(bytes(resized["png"]["media"]))
+    assert arr.shape == (8, 8, 3)
+    assert (arr == 128).all()
