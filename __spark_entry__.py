@@ -553,6 +553,24 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set document filter (Rae et al. 2021 Appendix A) — the
+    standard LLM-pretraining quality gate, all whole-stage codegen."""
+    from ner_backend_spark.spark.textstats import add_gopher_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_gopher_quality(docs).drop("text")
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line/word fractions, top-bigram
+    coverage over the first 500 words), all whole-stage codegen."""
+    from ner_backend_spark.spark.textstats import add_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_repetition_stats(docs).drop("text")
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k-gram hashes -> sliding-window
     minima): shared substrings of length >= k+window-1 guarantee a shared
@@ -809,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "q_ner_pipeline": _q_ner_pipeline,
         "q_task_rollup": _q_task_rollup,
+        "q_gopher_quality": _q_gopher_quality,
+        "q_repetition_stats": _q_repetition_stats,
         "q_presidio_pages": _q_presidio_pages,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
@@ -1042,6 +1062,85 @@ def oracle_sql() -> dict[str, str]:
                        x -> trim(x) != ''))) AS BIGINT) AS total_tokens
             FROM gated JOIN canon USING (doc_id)
             GROUP BY lang
+        """,
+        "q_gopher_quality": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       END AS words,
+                       list_filter(regexp_split_to_array(text, '\n'),
+                                   l -> trim(l) != '') AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       greatest(len(words), 1) AS nw1,
+                       greatest(len(lines), 1) AS nl1,
+                       coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+                           AS total_len,
+                       (length(text) - length(replace(text, '#', ''))) AS n_hash,
+                       (length(text) - length(replace(text, '...', ''))) / 3
+                           AS n_ellipsis,
+                       len(list_filter(words, w -> regexp_matches(w, '\p{L}')))
+                           AS n_alpha,
+                       len(list_filter(lines,
+                           l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+                       len(list_filter(lines, l -> ends_with(l, '...')))
+                           AS n_ell_lines,
+                       len(list_intersect(list_distinct(words),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS n_sw
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   total_len / nw1 AS mean_word_len,
+                   (n_hash + n_ellipsis) / nw1 AS symbol_word_ratio,
+                   n_bullet / nl1 AS bullet_line_frac,
+                   n_ell_lines / nl1 AS ellipsis_line_frac,
+                   n_alpha / nw1 AS alpha_word_frac,
+                   CAST(n_sw AS BIGINT) AS n_gopher_stopwords,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND total_len / nw1 >= 3 AND total_len / nw1 <= 10
+                    AND (n_hash + n_ellipsis) / nw1 < 0.1
+                    AND n_bullet / nl1 < 0.9
+                    AND n_ell_lines / nl1 < 0.3
+                    AND n_alpha / nw1 >= 0.8
+                    AND n_sw >= 2) AS gopher_keep
+            FROM m
+        """,
+        "q_repetition_stats": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       END AS words,
+                       list_filter(regexp_split_to_array(text, '\n'),
+                                   l -> trim(l) != '') AS lines
+                FROM documents
+            ), h AS (
+                SELECT doc_id, words, lines, words[1:500] AS head FROM base
+            ), b AS (
+                SELECT doc_id, words, lines,
+                       CASE WHEN len(head) >= 2
+                            THEN list_transform(
+                                generate_series(1, len(head) - 1),
+                                i -> head[i] || ' ' || head[i + 1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bigrams
+                FROM h
+            )
+            SELECT doc_id,
+                   1.0 - len(list_distinct(lines)) / greatest(len(lines), 1)
+                       AS dup_line_frac,
+                   1.0 - len(list_distinct(words)) / greatest(len(words), 1)
+                       AS dup_word_frac,
+                   CASE WHEN len(bigrams) > 0
+                        THEN list_max(list_transform(list_distinct(bigrams),
+                                 bg -> len(list_filter(bigrams, x -> x = bg))))
+                             / len(bigrams)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM b
         """,
         "q_source_chunks": """
             WITH objs AS (

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q_bpe_tokens",
     "q_bpe_encode",
     "q_presidio_pages",
+    "q_gopher_quality",
+    "q_repetition_stats",
 ]
 
 

@@ -171,6 +171,60 @@ def test_textstats(spark):
     assert 0.0 <= rows[1]["quality_score"] <= 1.0
 
 
+def test_gopher_quality_rules(spark):
+    """Gopher rule set on hand-built docs exercising each rule branch —
+    including the line-based rules the single-line documents fixture can't
+    reach (bullets, ellipsis line endings)."""
+    prose = " ".join(
+        ["the data and moves to the sink of that batch have run with care"]
+        * 5
+    )  # 70 words, all alpha, >= 2 gopher stopwords
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipsis = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = " ".join(["##word"] * 60)
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, prose), (2, bullets), (3, ellipsis), (4, symbols), (5, short)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.add_gopher_quality(df).collect()
+    }
+    assert rows[1]["gopher_keep"] is True
+    assert rows[1]["n_words"] == 70
+    assert rows[1]["alpha_word_frac"] == 1.0
+    assert rows[1]["n_gopher_stopwords"] >= 2
+    assert rows[2]["bullet_line_frac"] == 1.0 and not rows[2]["gopher_keep"]
+    assert rows[3]["ellipsis_line_frac"] == 1.0 and not rows[3]["gopher_keep"]
+    assert rows[4]["symbol_word_ratio"] >= 0.1 and not rows[4]["gopher_keep"]
+    assert rows[5]["n_words"] == 2 and not rows[5]["gopher_keep"]
+
+
+def test_repetition_stats(spark):
+    rep_lines = "unique one\ndup line\ndup line\ndup line"  # 4 lines, 2 distinct
+    rep_bigram = "spam egg " * 30 + "end"  # 'egg spam'/'spam egg' dominate
+    distinct = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, rep_lines), (2, rep_bigram), (3, distinct), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in textstats.add_repetition_stats(df).collect()
+    }
+    assert abs(rows[1]["dup_line_frac"] - 0.5) < 1e-9
+    assert rows[2]["top_bigram_frac"] > 0.4  # one bigram covers ~half the slots
+    assert rows[3]["dup_word_frac"] == 0.0
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[4]["top_bigram_frac"] == 0.0  # empty text: no bigrams
+
+    # plan contract: pure codegen operators — no Python execution nodes
+    plan = textstats.add_repetition_stats(
+        textstats.add_gopher_quality(df)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
