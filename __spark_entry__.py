@@ -571,6 +571,15 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_repetition_stats(docs).drop("text")
 
 
+def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate mining: word 3-grams in >= 2 docs."""
+    from ner_backend_spark.flagship import COMMON_NGRAMS
+    from ner_backend_spark.spark.dedup import common_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return common_ngrams(docs, "doc_id", "text", **COMMON_NGRAMS)
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k-gram hashes -> sliding-window
     minima): shared substrings of length >= k+window-1 guarantee a shared
@@ -829,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_task_rollup": _q_task_rollup,
         "q_gopher_quality": _q_gopher_quality,
         "q_repetition_stats": _q_repetition_stats,
+        "q_common_ngrams": _q_common_ngrams,
         "q_presidio_pages": _q_presidio_pages,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
@@ -1141,6 +1151,30 @@ def oracle_sql() -> dict[str, str]:
                              / len(bigrams)
                         ELSE 0.0 END AS top_bigram_frac
             FROM b
+        """,
+        "q_common_ngrams": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       END AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(words) >= 3
+                              THEN (list_transform(
+                                       generate_series(1, len(words) - 2),
+                                       i -> words[i] || ' ' || words[i+1]
+                                            || ' ' || words[i+2]))[1:500]
+                              ELSE CAST([] AS VARCHAR[]) END) AS ngram
+                FROM w
+            )
+            SELECT ngram,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM g
+            GROUP BY ngram
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "q_source_chunks": """
             WITH objs AS (

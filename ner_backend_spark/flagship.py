@@ -54,6 +54,9 @@ NEARDUP_LSH = dict(threshold=0.3, dim=64, n_planes=6, tables=8)
 MULTIMODAL_DIM = 16
 WINNOW = dict(k=5, window=4)
 WINNOW_NEARDUP = dict(min_shared=5, max_postings=64)
+# Cross-document boilerplate n-gram mining (dedup.common_ngrams); the
+# oracle SQL in __spark_entry__ mirrors these literals.
+COMMON_NGRAMS = dict(n=3, min_docs=2, max_grams_per_doc=500)
 # Deterministic hash-bernoulli stratified sampling over documents.lang
 # (spark/sampling.py; membership is a pure function of (salt, doc_id)).
 STRATIFIED_SAMPLE = dict(

@@ -49,6 +49,58 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def common_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+    max_grams_per_doc: int = 500,
+) -> DataFrame:
+    """(ngram, n_docs, n_occurrences): word n-grams appearing in >= min_docs
+    distinct documents — the boilerplate/common-phrase miner used to build
+    removal lists for LLM training corpora (the cross-document complement
+    of the per-document repetition stats in textstats).
+
+    Scale shape: the n-gram arrays build row-locally as zip_with over n
+    offset slices (operands evaluate once per row — a transform(sequence,
+    i -> element_at(...)) lambda would re-evaluate the captured word array
+    per element, see textstats.add_repetition_stats), capped at
+    ``max_grams_per_doc`` so one outlier document can't own its task; the
+    single shuffle is the groupBy on the gram, map-side partial-aggregated.
+    A truly hot gram (appearing in most documents) concentrates its
+    count-distinct state on one reducer — at web scale raise min_docs and
+    pre-filter grams by a cheap frequency sketch, or salt with
+    skew.two_phase_count; at sandbox SF the partial aggregation suffices.
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    words = F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(trimmed), r"\s+"))
+    docs = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    w = F.col("_w")
+    count = F.size(w) - (n - 1)
+    parts = [F.slice(w, i + 1, count) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda x, y: F.concat_ws(" ", x, y))
+    grams = F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = docs.select(
+        "_id", F.explode(F.slice(grams, 1, max_grams_per_doc)).alias("ngram")
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def _murmur3_kgrams_numpy(data: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
     """Signed-int32 Spark hash() of every k-byte window of ``data`` (uint8).
 

@@ -225,6 +225,38 @@ def test_repetition_stats(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_common_ngrams(spark):
+    """Cross-doc boilerplate mining: a phrase shared by two docs surfaces
+    with exact doc/occurrence counts; singleton grams are filtered; short
+    docs contribute nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, "the same boilerplate footer text here"),
+            (2, "intro words then the same boilerplate footer appears"),
+            (3, "completely different content entirely now"),
+            (4, "ab"),  # < n words
+            (5, "the same boilerplate the same boilerplate"),  # twice in one doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["ngram"]: (r["n_docs"], r["n_occurrences"])
+        for r in dedup.common_ngrams(df, "doc_id", "text", n=3, min_docs=2).collect()
+    }
+    assert rows["the same boilerplate"] == (3, 4)  # docs 1,2,5 (5 has it twice)
+    assert rows["same boilerplate footer"] == (2, 2)
+    assert "completely different content" not in rows  # single doc
+    # cap: a doc's grams beyond max_grams_per_doc are ignored
+    long_doc = " ".join(f"w{i}" for i in range(600))
+    df2 = spark.createDataFrame(
+        [(1, long_doc), (2, long_doc)], ["doc_id", "text"]
+    )
+    capped = dedup.common_ngrams(
+        df2, "doc_id", "text", n=3, min_docs=2, max_grams_per_doc=100
+    )
+    assert capped.count() == 100
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
