@@ -571,6 +571,29 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_repetition_stats(docs).drop("text")
 
 
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means cluster assignment for every embedding
+    (trained spherical quantizer + GEMV assignment kernel) — the
+    clustering operator semantic-dedup / topic-balancing pipelines build
+    on; shares the IVF quantizer so assignments and ANN probes agree."""
+    from ner_backend_spark.spark.similarity import (
+        ivf_assignments,
+        train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        emb,
+        IVF_ANN["dim"],
+        IVF_ANN["n_centroids"],
+        kmeans_iters=IVF_ANN["kmeans_iters"],
+        sample_size=IVF_ANN["sample_size"],
+    )
+    return ivf_assignments(
+        emb, IVF_ANN["dim"], IVF_ANN["n_centroids"], centroids=cents
+    ).select("id", F.col("centroid_id").cast("long").alias("centroid_id"))
+
+
 def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate mining: word 3-grams in >= 2 docs."""
     from ner_backend_spark.flagship import COMMON_NGRAMS
@@ -839,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": _q_gopher_quality,
         "q_repetition_stats": _q_repetition_stats,
         "q_common_ngrams": _q_common_ngrams,
+        "q_kmeans_assign": _q_kmeans_assign,
         "q_presidio_pages": _q_presidio_pages,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
@@ -902,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
             "q_winnow_neardups",
             "q_bpe_encode",
             "q_task_rollup",
+            "q_kmeans_assign",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —

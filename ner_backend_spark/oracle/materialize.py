@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "11"
+ORACLE_VERSION = "12"
 
 _S = pa.string()
 _L = pa.int64()
@@ -99,6 +99,10 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_bpe_encode": (
         "oracle_bpe_encode",
         pa.schema([("doc_id", _L), ("n_bpe_tokens", _L), ("ids_hash", _S)]),
+    ),
+    "q_kmeans_assign": (
+        "oracle_kmeans_assign",
+        pa.schema([("id", _L), ("centroid_id", _L)]),
     ),
     "q_task_rollup": (
         "oracle_task_rollup",

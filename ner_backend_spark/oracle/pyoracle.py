@@ -410,6 +410,25 @@ def oracle_ivf_ann(sf_dir: str) -> list[tuple]:
     return _topk_py(cand, vecs, p["k"])
 
 
+def oracle_kmeans_assign(sf_dir: str) -> list[tuple]:
+    """(id, centroid_id): trained-quantizer cluster assignment for EVERY
+    embedding — the clustering face of the IVF machinery (semantic-dedup /
+    topic-balancing building block). Mirrors train_centroids (lowest
+    sample_size ids, spherical Lloyd) + ivf_assignments (per-row GEMV,
+    argmax ties -> lowest centroid id) bit-exactly."""
+    p = flagship.IVF_ANN
+    vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
+    raw = _centroids(p["dim"], p["n_centroids"], 42)
+    sample_ids = sorted(vecs)[: p["sample_size"]]
+    X = np.array([vecs[i] for i in sample_ids], dtype=np.float64)
+    raw = _kmeans_refine(X, raw, p["kmeans_iters"])
+    cents_np = np.asarray(raw, dtype=np.float64)
+    return [
+        (vid, int((cents_np @ np.asarray(vec, dtype=np.float64)).argmax()))
+        for vid, vec in sorted(vecs.items())
+    ]
+
+
 def oracle_embedding_neardup_lsh(sf_dir: str) -> list[tuple]:
     p = flagship.NEARDUP_LSH
     vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
