@@ -571,6 +571,16 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_repetition_stats(docs).drop("text")
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the low-entropy/boilerplate
+    curation signal (CCNet/RefinedWeb family)."""
+    from ner_backend_spark.spark.textstats import compression_ratio
+
+    return compression_ratio(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means cluster assignment for every embedding
     (trained spherical quantizer + GEMV assignment kernel) — the
@@ -863,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": _q_repetition_stats,
         "q_common_ngrams": _q_common_ngrams,
         "q_kmeans_assign": _q_kmeans_assign,
+        "q_compression_ratio": _q_compression_ratio,
         "q_presidio_pages": _q_presidio_pages,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
@@ -927,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
             "q_bpe_encode",
             "q_task_rollup",
             "q_kmeans_assign",
+            "q_compression_ratio",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "12"
+ORACLE_VERSION = "13"
 
 _S = pa.string()
 _L = pa.int64()
@@ -99,6 +99,17 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_bpe_encode": (
         "oracle_bpe_encode",
         pa.schema([("doc_id", _L), ("n_bpe_tokens", _L), ("ids_hash", _S)]),
+    ),
+    "q_compression_ratio": (
+        "oracle_compression_ratio",
+        pa.schema(
+            [
+                ("doc_id", _L),
+                ("n_bytes", _L),
+                ("n_compressed", _L),
+                ("compression_ratio", _D),
+            ]
+        ),
     ),
     "q_kmeans_assign": (
         "oracle_kmeans_assign",

@@ -410,6 +410,21 @@ def oracle_ivf_ann(sf_dir: str) -> list[tuple]:
     return _topk_py(cand, vecs, p["k"])
 
 
+def oracle_compression_ratio(sf_dir: str) -> list[tuple]:
+    """(doc_id, n_bytes, n_compressed, compression_ratio) — same zlib, same
+    level, same container as the Spark kernel (textstats.compression_ratio)."""
+    import zlib
+
+    rows = []
+    for doc_id, text in load_documents(sf_dir):
+        raw = (text or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6)) if raw else 0
+        rows.append(
+            (doc_id, len(raw), comp, comp / len(raw) if raw else 0.0)
+        )
+    return rows
+
+
 def oracle_kmeans_assign(sf_dir: str) -> list[tuple]:
     """(id, centroid_id): trained-quantizer cluster assignment for EVERY
     embedding — the clustering face of the IVF machinery (semantic-dedup /

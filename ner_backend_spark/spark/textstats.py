@@ -340,6 +340,56 @@ def add_repetition_stats(
     )
 
 
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, compression_ratio): zlib compressed
+    size over raw UTF-8 size — the low-entropy / boilerplate detector used
+    by CCNet/RefinedWeb-style curation (highly repetitive documents
+    compress far below prose's ~0.4-0.6 and get dropped or down-weighted).
+
+    Arrow-batched kernel by necessity (no JVM-side deflate expression);
+    compressed SIZE for a fixed zlib level is deterministic within a zlib
+    build, and the pure-Python oracle runs the same zlib in the same
+    container — cross-zlib-version byte counts can drift a few bytes, the
+    same caveat class as minipng's encoder, so pin the ratio not the bytes
+    when comparing across environments. Empty text reports ratio 0.0.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_bytes long, n_compressed long,"
+        " compression_ratio double"
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            nb, nc, ratio = [], [], []
+            for text in pdf[text_col].values:
+                raw = (text or "").encode("utf-8")
+                comp = len(zlib.compress(raw, level)) if raw else 0
+                nb.append(len(raw))
+                nc.append(comp)
+                ratio.append(comp / len(raw) if raw else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(df.select(id_col, text_col))
+    return narrow.mapInPandas(run, schema)
+
+
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """fingerprint: md5 of whitespace-normalized lowercase text.
 

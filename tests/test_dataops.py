@@ -257,6 +257,29 @@ def test_common_ngrams(spark):
     assert capped.count() == 100
 
 
+def test_compression_ratio(spark):
+    """Low-entropy docs compress far below prose; empty text reports 0."""
+    import random
+
+    rng = random.Random(7)
+    prose = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(7))
+        for _ in range(200)
+    )
+    df = spark.createDataFrame(
+        [(1, "spam " * 400), (2, prose), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.compression_ratio(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["compression_ratio"] < 0.05  # pure repetition
+    assert rows[2]["compression_ratio"] > 0.5  # random letters barely compress
+    assert rows[3] == (3, 0, 0, 0.0)
+    assert rows[2]["n_bytes"] == len(prose.encode())
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
