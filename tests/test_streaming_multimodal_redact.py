@@ -41,6 +41,62 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """The curation operators (Gopher rules, repetition stats) are
+    stateless codegen projections, so the SAME transform runs unchanged on
+    a Structured Streaming source with identical results — the stream/batch
+    unification the north_star's continuous-construction story relies on."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ner_backend_spark.spark.textstats import (
+        add_gopher_quality,
+        add_repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    in_path = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(in_path)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_path)
+    )
+    out_path = str(tmp_path / "curated_out")
+    q = (
+        add_repetition_stats(add_gopher_quality(stream))
+        .drop("text")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out_path).collect()}
+    want = {
+        tuple(r)
+        for r in add_repetition_stats(add_gopher_quality(docs))
+        .drop("text")
+        .collect()
+    }
+    assert got == want and len(got) == 500
+
+
 def test_streaming_restart_no_duplicates(spark, tmp_path):
     pages = fixtures.pages_df(spark, n=40)
     in_path = str(tmp_path / "pages_in")
