@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "q_presidio_pages",
     "q_gopher_quality",
     "q_repetition_stats",
+    "q_common_ngrams",
+    "q_kmeans_assign",
+    "q_compression_ratio",
 ]
 
 

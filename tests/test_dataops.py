@@ -280,6 +280,107 @@ def test_compression_ratio(spark):
     assert rows[2]["n_bytes"] == len(prose.encode())
 
 
+def _py_words(text):
+    import re as _re
+
+    # mirror Java \s (ASCII-only) and Spark trim (spaces), NOT Python's
+    # unicode-aware .split()/.strip()
+    t = text.strip(" \t\n\x0b\f\r")
+    return _re.split(r"[ \t\n\x0b\f\r]+", t.lower()) if t else []
+
+
+def _py_lines(text):
+    return [ln for ln in text.split("\n") if ln.strip(" ") != ""]
+
+
+def test_curation_ops_vs_independent_python_reference(spark):
+    """The Spark expression formulations (zip_with bigrams, sort+run-length
+    mode, HOF ratios) checked against INDEPENDENT pure-Python formulations
+    (Counter-based mode, set arithmetic) over a diverse generated corpus —
+    a different algorithm agreeing on the same numbers, complementing the
+    DuckDB oracle which shares the expression shape."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["the", "of", "and", "data", "spark", "join", "x9", "ü", "éa"]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 120))]
+        text = " ".join(words)
+        if i % 4 == 1:  # multi-line with dups and bullets
+            lines = [" ".join(words[j : j + 8]) for j in range(0, len(words), 8)]
+            lines += lines[: len(lines) // 2] + ["- bullet item", "trails..."]
+            text = "\n".join(lines)
+        if i % 7 == 2:
+            text += " ### " + "... " * 3
+        docs.append((i, text))
+    docs.append((98, ""))
+    docs.append((99, "   "))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    rep = {
+        r["doc_id"]: r
+        for r in textstats.add_repetition_stats(df).drop("text").collect()
+    }
+    gq = {
+        r["doc_id"]: r
+        for r in textstats.add_gopher_quality(df).drop("text").collect()
+    }
+    for doc_id, text in docs:
+        words = _py_words(text)
+        lines = _py_lines(text)
+        nw1, nl1 = max(len(words), 1), max(len(lines), 1)
+        head = words[:500]
+        bigrams = [f"{a} {b}" for a, b in zip(head, head[1:])]
+        top = (
+            max(Counter(bigrams).values()) / len(bigrams) if bigrams else 0.0
+        )
+        r = rep[doc_id]
+        assert math.isclose(r["dup_line_frac"], 1 - len(set(lines)) / nl1)
+        assert math.isclose(r["dup_word_frac"], 1 - len(set(words)) / nw1)
+        assert math.isclose(r["top_bigram_frac"], top), (doc_id, text[:50])
+
+        g = gq[doc_id]
+        assert g["n_words"] == len(words)
+        assert math.isclose(
+            g["mean_word_len"], sum(len(w) for w in words) / nw1
+        )
+        n_sym = text.count("#") + (len(text) - len(text.replace("...", ""))) / 3
+        assert math.isclose(g["symbol_word_ratio"], n_sym / nw1)
+        assert math.isclose(
+            g["alpha_word_frac"],
+            sum(1 for w in words if any(c.isalpha() for c in w)) / nw1,
+        )
+        n_bullet = sum(1 for ln in lines if ln.lstrip(" ").startswith(("-", "*", "•")))
+        assert math.isclose(g["bullet_line_frac"], n_bullet / nl1)
+        n_ell = sum(1 for ln in lines if ln.endswith("..."))
+        assert math.isclose(g["ellipsis_line_frac"], n_ell / nl1)
+        sw = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        assert g["n_gopher_stopwords"] == len(set(words) & sw)
+
+    # common_ngrams against a Counter reference over the same corpus
+    got = {
+        r["ngram"]: (r["n_docs"], r["n_occurrences"])
+        for r in dedup.common_ngrams(df, "doc_id", "text", n=3, min_docs=2).collect()
+    }
+    by_gram_docs, by_gram_occ = Counter(), Counter()
+    for _doc_id, text in docs:
+        head = _py_words(text)[:502]  # cap applies to GRAMS (500)
+        grams = [
+            " ".join(head[j : j + 3]) for j in range(len(head) - 2)
+        ][:500]
+        by_gram_occ.update(grams)
+        by_gram_docs.update(set(grams))
+    want = {
+        g: (by_gram_docs[g], by_gram_occ[g])
+        for g in by_gram_occ
+        if by_gram_docs[g] >= 2
+    }
+    assert got == want
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
