@@ -604,6 +604,28 @@ def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", F.col("centroid_id").cast("long").alias("centroid_id"))
 
 
+def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score per document (CCNet-style), fully
+    relational — tokens ⋈ corpus frequencies, avg(-ln p) per doc."""
+    from ner_backend_spark.spark.textstats import unigram_logppl
+
+    return unigram_logppl(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style test-set decontamination: flag documents sharing any
+    word 8-gram with a benchmark corpus (deterministically: docs 0-19 of
+    the same table, so the benchmark members flag themselves and everyone
+    else is measured against them)."""
+    from ner_backend_spark.spark.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("text")
+    return decontaminate(docs, bench, "doc_id", "text", n=8)
+
+
 def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate mining: word 3-grams in >= 2 docs."""
     from ner_backend_spark.flagship import COMMON_NGRAMS
@@ -874,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_common_ngrams": _q_common_ngrams,
         "q_kmeans_assign": _q_kmeans_assign,
         "q_compression_ratio": _q_compression_ratio,
+        "q_decontaminate": _q_decontaminate,
+        "q_unigram_logppl": _q_unigram_logppl,
         "q_presidio_pages": _q_presidio_pages,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
@@ -1188,6 +1212,56 @@ def oracle_sql() -> dict[str, str]:
                              / len(bigrams)
                         ELSE 0.0 END AS top_bigram_frac
             FROM b
+        """,
+        "q_unigram_logppl": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                    END) AS token
+                FROM documents
+            ), fr AS (
+                SELECT token, count(*) AS c FROM tok GROUP BY token
+            ), tot AS (
+                SELECT CAST(sum(c) AS BIGINT) AS t FROM fr
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(-ln(c / t)), 4) AS avg_neg_log_p
+            FROM tok JOIN fr USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "q_decontaminate": r"""
+            WITH wt AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       END AS words
+                FROM documents
+            ), gr AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 8
+                            THEN (list_transform(
+                                generate_series(1, len(words) - 7),
+                                i -> words[i] || ' ' || words[i+1] || ' '
+                                     || words[i+2] || ' ' || words[i+3] || ' '
+                                     || words[i+4] || ' ' || words[i+5] || ' '
+                                     || words[i+6] || ' ' || words[i+7]))[1:2000]
+                            ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM wt
+            ), bg AS (
+                SELECT DISTINCT unnest(grams) AS gram FROM gr WHERE doc_id < 20
+            ), dg AS (
+                SELECT doc_id, unnest(grams) AS gram FROM gr
+            ), hits AS (
+                SELECT dg.doc_id, count(bg.gram) AS n
+                FROM dg LEFT JOIN bg USING (gram)
+                GROUP BY dg.doc_id
+            )
+            SELECT wt.doc_id,
+                   CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   coalesce(hits.n, 0) > 0 AS contaminated
+            FROM wt LEFT JOIN hits USING (doc_id)
         """,
         "q_common_ngrams": r"""
             WITH w AS (

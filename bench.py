@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q_common_ngrams",
     "q_kmeans_assign",
     "q_compression_ratio",
+    "q_decontaminate",
+    "q_unigram_logppl",
 ]
 
 

@@ -101,6 +101,71 @@ def common_ngrams(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    max_grams_per_doc: int = 2000,
+) -> DataFrame:
+    """(id, n_contaminated_grams, contaminated): flag documents sharing any
+    word n-gram with a benchmark/eval corpus — GPT-3-style test-set
+    decontamination (Brown et al. 2020 used 13-grams; the n is a knob).
+
+    Scale shape: benchmark n-grams are DISTINCT and usually tiny relative
+    to the corpus (eval sets, not the web), so the overlap join broadcasts
+    them; corpus grams build row-locally (zip_with over offset slices, the
+    same no-per-element-re-eval pattern as :func:`common_ngrams`) and are
+    counted per document with a map-side-combined aggregation after the
+    broadcast hash join — the corpus never shuffles on the gram. A LEFT
+    join keeps gram-less/clean documents in the output with a zero count.
+    """
+    bench_text_col = bench_text_col or text_col
+
+    def grams_of(text_col_name: str):
+        t = F.col(text_col_name)
+        trimmed = F.trim(t)
+        words = F.when(
+            trimmed == "", F.array().cast("array<string>")
+        ).otherwise(F.split(F.lower(trimmed), r"\s+"))
+        count = F.size(words) - (n - 1)
+        parts = [F.slice(words, i + 1, count) for i in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.zip_with(out, p, lambda x, y: F.concat_ws(" ", x, y))
+        return F.when(F.size(words) >= n, out).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.slice(grams_of(bench_text_col), 1, max_grams_per_doc)
+            ).alias("gram")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.slice(grams_of(text_col), 1, max_grams_per_doc)).alias(
+            "gram"
+        ),
+    )
+    counts = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+    )
+    return counts.select(
+        F.col("_id").alias(id_col),
+        F.col("n_hits").cast("long").alias("n_contaminated_grams"),
+        (F.col("n_hits") > 0).alias("contaminated"),
+    )
+
+
 def _murmur3_kgrams_numpy(data: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
     """Signed-int32 Spark hash() of every k-byte window of ``data`` (uint8).
 

@@ -340,6 +340,48 @@ def add_repetition_stats(
     )
 
 
+def unigram_logppl(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_log_p): corpus-unigram language-model score
+    per document — the CCNet/KenLM-style quality signal (documents whose
+    tokens are rare under the corpus distribution score high = surprising/
+    noisy; boilerplate scores low), expressed fully relationally:
+
+      1. explode tokens (one narrow shuffle-free projection),
+      2. corpus vocabulary frequencies via groupBy (map-side combined —
+         the zipf head aggregates locally),
+      3. token ⋈ frequency join, then per-document avg(-ln p).
+
+    No model artifact, no Python: the "LM" is the corpus itself, which is
+    exactly what CCNet's target-domain LM degenerates to at order 1. The
+    output is rounded (default 4 digits) because cross-row float summation
+    order differs between engines/plans; the signal lives in whole digits.
+    At web scale the vocabulary is zipf-bounded (far smaller than the
+    corpus) and the frequency join shuffles on the token like any
+    dimension join; hot tokens are exactly the well-aggregated head.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(words).alias("token"))
+    freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freqs.agg(F.sum("c").alias("t"))
+    scored = (
+        tok.join(freqs, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), round_digits).alias(
+                "avg_neg_log_p"
+            ),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col), "n_tokens", "avg_neg_log_p"
+    )
+
+
 def compression_ratio(
     df: DataFrame, id_col: str, text_col: str, level: int = 6
 ) -> DataFrame:

@@ -280,6 +280,51 @@ def test_compression_ratio(spark):
     assert rows[2]["n_bytes"] == len(prose.encode())
 
 
+def test_decontaminate(spark):
+    """8-gram overlap with a benchmark set: exact hit counts, clean docs
+    kept with zero, short docs can't be flagged."""
+    phrase = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {phrase} outro words here"),
+            (2, "totally unrelated content with plenty of distinct words okay"),
+            (3, "short doc"),
+            (4, phrase),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(f"prefix {phrase} suffix",)], ["text"])
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate(df, bench, "doc_id", "text", n=8).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["contaminated"] and rows[1]["n_contaminated_grams"] == 1
+    assert rows[4]["contaminated"] and rows[4]["n_contaminated_grams"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_contaminated_grams"] == 0
+    assert not rows[3]["contaminated"]
+
+
+def test_unigram_logppl_known_values(spark):
+    """Hand-computable corpus: p(token) from the corpus itself, per-doc
+    avg(-ln p)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.unigram_logppl(df, "doc_id", "text").collect()
+    }
+    # corpus: a:3, b:1, total 4
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["avg_neg_log_p"] - round(-math.log(3 / 4), 4)) < 1e-9
+    assert abs(rows[2]["avg_neg_log_p"] - round(-math.log(1 / 4), 4)) < 1e-9
+    # rarer tokens -> higher score (the curation ordering the signal exists for)
+    assert rows[2]["avg_neg_log_p"] > rows[1]["avg_neg_log_p"]
+
+
 def _py_words(text):
     import re as _re
 
