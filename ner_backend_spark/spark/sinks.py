@@ -152,6 +152,51 @@ class ParquetSink(TableSink):
         writer.parquet(f"{self.base_path}/{table}")
 
 
+class BucketedTableSink(TableSink):
+    """Spark-native bucketed MANAGED tables (``bucketBy(n, col)`` +
+    ``saveAsTable``): unlike :class:`ParquetSink`'s directory partitions,
+    the bucket metadata lives in the catalog, so two tables bucketed
+    identically on a join key JOIN WITH ZERO SHUFFLE — the sort-merge join
+    reads co-located buckets directly (the "bucketing for co-located
+    joins" scale technique; asserted by the plan-contract test
+    ``test_bucketed_tables_join_without_shuffle``). The Iceberg analogue
+    is ``bucket(n, url)`` + storage-partitioned joins.
+
+    Spec lowering: exactly the ``bucket`` fields become ``bucketBy``
+    (Spark supports one bucketBy call — pass one bucket field), identity
+    fields become ``partitionBy`` directories, time transforms are not
+    supported here (use ParquetSink/IcebergSink). ``sort_within`` lowers
+    to ``sortBy`` (bucket-local sorted files: merge joins skip the sort).
+    """
+
+    def __init__(self, database: str | None = None):
+        self.database = database
+
+    def write(self, df, table, spec=(), mode="overwrite",
+              distribute=None, sort_within=None):
+        buckets = [f for f in spec if f.transform == "bucket"]
+        idents = [f for f in spec if f.transform == "identity"]
+        if len(buckets) != 1:
+            raise ValueError(
+                "BucketedTableSink needs exactly one bucket() field"
+            )
+        if len(idents) + 1 != len(spec):
+            raise ValueError(
+                "BucketedTableSink supports bucket + identity fields only"
+            )
+        if distribute is not None:
+            df = self._layout(df, distribute, None)  # sort via sortBy below
+        name = f"{self.database}.{table}" if self.database else table
+        writer = df.write.mode(mode).format("parquet").bucketBy(
+            buckets[0].n, buckets[0].column
+        )
+        if sort_within:
+            writer = writer.sortBy(*sort_within)
+        if idents:
+            writer = writer.partitionBy(*[f.column for f in idents])
+        writer.saveAsTable(name)
+
+
 def iceberg_transforms(spec: tuple[PartitionField, ...]) -> list:
     """Lower a spec to native partition-transform Columns for writeTo()."""
     from pyspark.sql.functions import partitioning as P

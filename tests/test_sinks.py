@@ -141,3 +141,42 @@ def test_iceberg_writer_v2_rejects_unknown_mode(spark):
     df = spark.range(1).withColumnRenamed("id", "url")
     with pytest.raises(ValueError):
         sinks.IcebergSink("c.ns").write(df, "t", mode="merge")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, pages):
+    """The co-located-join contract: two managed tables bucketed
+    identically on the join key sort-merge-join with ZERO shuffle exchange
+    on either side (the catalog keeps the bucket metadata; at 100 TB this
+    removes the dominant shuffle from every entities ⋈ groups / url-keyed
+    join). Broadcast is disabled via a MERGE hint so the assertion can't
+    be satisfied trivially."""
+    other = pages.select("url", (F.length("url")).alias("url_len"))
+    sink = sinks.BucketedTableSink()
+    try:
+        sink.write(
+            pages, "bt_pages",
+            spec=(sinks.bucket(4, "url"),), sort_within=["url"],
+        )
+        sink.write(
+            other, "bt_meta",
+            spec=(sinks.bucket(4, "url"),), sort_within=["url"],
+        )
+        a = spark.table("bt_pages")
+        b = spark.table("bt_meta")
+        joined = a.hint("merge").join(b, "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        want = pages.count()
+        assert joined.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_pages")
+        spark.sql("DROP TABLE IF EXISTS bt_meta")
+
+
+def test_bucketed_sink_rejects_bad_specs(spark, pages):
+    sink = sinks.BucketedTableSink()
+    with pytest.raises(ValueError):
+        sink.write(pages, "t", spec=())
+    with pytest.raises(ValueError):
+        sink.write(pages, "t", spec=(sinks.bucket(4, "url"), sinks.days("warc_ts")))
