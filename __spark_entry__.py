@@ -751,6 +751,48 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "n_bytes", "feat_hash")
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal kernels: per-document deterministic
+    tone WAVs (synthesized in the kernel — testdata ships no audio)
+    decoded FOR REAL via the stdlib wave tier, per-frame RMS energy
+    flattened to scalar columns for the hash gate."""
+    from ner_backend_spark.spark.multimodal import (
+        extract_audio_features,
+        synth_tone_wav,
+    )
+    from ner_backend_spark.spark.session import ensure_parallelism
+
+    import pandas as pd  # noqa: F401 (kernel-side)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("key")
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["key"].astype(str),
+                    "media": [synth_tone_wav(int(k)) for k in pdf["key"].values],
+                }
+            )
+
+    media = ensure_parallelism(docs).mapInPandas(gen, "url string, media binary")
+    feats = extract_audio_features(media, n_frames=4)
+    rms = [
+        F.round(F.element_at("rms_frames", i + 1).cast("double"), 6).alias(
+            f"rms_{i}"
+        )
+        for i in range(4)
+    ]
+    return feats.select(
+        "url", "n_bytes", "sample_rate", "n_samples", "duration_ms",
+        "decoded", *rms,
+    )
+
+
 def _q_merged_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 ensemble merge (transformer_presidio/models.py:30-99): primary
     model wins overlap conflicts, same-label clusters union their spans."""
@@ -885,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_ann": _q_ivf_ann,
         "q_crf_pipeline": _q_crf_pipeline,
         "q_multimodal_features": _q_multimodal_features,
+        "q_audio_features": _q_audio_features,
         "q_previews": _q_previews,
         "q_redaction": _q_redaction,
         "q_merged_model": _q_merged_model,
@@ -963,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
             "q_task_rollup",
             "q_kmeans_assign",
             "q_compression_ratio",
+            "q_audio_features",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "13"
+ORACLE_VERSION = "14"
 
 _S = pa.string()
 _L = pa.int64()
@@ -99,6 +99,23 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_bpe_encode": (
         "oracle_bpe_encode",
         pa.schema([("doc_id", _L), ("n_bpe_tokens", _L), ("ids_hash", _S)]),
+    ),
+    "q_audio_features": (
+        "oracle_audio_features",
+        pa.schema(
+            [
+                ("url", _S),
+                ("n_bytes", _L),
+                ("sample_rate", _L),
+                ("n_samples", _L),
+                ("duration_ms", _L),
+                ("decoded", _S),
+                ("rms_0", _D),
+                ("rms_1", _D),
+                ("rms_2", _D),
+                ("rms_3", _D),
+            ]
+        ),
     ),
     "q_compression_ratio": (
         "oracle_compression_ratio",

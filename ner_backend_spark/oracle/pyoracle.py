@@ -410,6 +410,41 @@ def oracle_ivf_ann(sf_dir: str) -> list[tuple]:
     return _topk_py(cand, vecs, p["k"])
 
 
+def oracle_audio_features(sf_dir: str) -> list[tuple]:
+    """(url, n_bytes, sample_rate, n_samples, duration_ms, decoded,
+    rms_0..rms_3) — same synth, same stdlib-wave decode, same numpy RMS
+    ops as the Spark kernel, so the float32 frame values agree bit-wise
+    before the shared round-to-6."""
+    from ..spark.multimodal import _decode_wav, synth_tone_wav
+
+    rows = []
+    for doc_id, _text in load_documents(sf_dir):
+        wav = synth_tone_wav(int(doc_id))
+        rate, x = _decode_wav(wav)
+        stride = max(len(x) // 4, 1)
+        rms = [
+            float(
+                np.sqrt(np.mean(np.square(x[i * stride : (i + 1) * stride])))
+            )
+            if len(x[i * stride : (i + 1) * stride])
+            else 0.0
+            for i in range(4)
+        ]
+        rms32 = [round(float(np.float32(v)), 6) for v in rms]
+        rows.append(
+            (
+                str(doc_id),
+                len(wav),
+                rate,
+                len(x),
+                int(len(x) * 1000 / rate),
+                "wav",
+                *rms32,
+            )
+        )
+    return rows
+
+
 def oracle_compression_ratio(sf_dir: str) -> list[tuple]:
     """(doc_id, n_bytes, n_compressed, compression_ratio) — same zlib, same
     level, same container as the Spark kernel (textstats.compression_ratio)."""

@@ -299,6 +299,154 @@ def resize_images(
     return narrow.mapInPandas(run, RESIZED_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms_frames", ArrayType(FloatType()), False),
+        StructField("decoded", StringType(), False),  # wav | stub
+    ]
+)
+
+
+def synth_tone_wav(
+    key: int, rate: int = 8000, n_samples: int = 400
+) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: a sine tone whose frequency and
+    amplitude derive from ``key``. Pure stdlib (wave + struct) so the
+    Spark kernel and the pure-Python oracle synthesize IDENTICAL bytes —
+    the audio fixture generator for the q_audio_features gate row (the
+    testdata ships no audio column)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    freq = 200.0 + (key % 20) * 20.0
+    amp = 0.1 + (key % 5) * 0.2
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h",
+                    int(
+                        amp
+                        * 32767
+                        * math.sin(2 * math.pi * freq * i / rate)
+                    ),
+                )
+                for i in range(n_samples)
+            )
+        )
+    return buf.getvalue()
+
+
+def _decode_wav(data: bytes) -> "tuple[int, np.ndarray] | None":
+    """(sample_rate, mono float32 samples in [-1, 1]) via the stdlib
+    ``wave`` module (PCM 8/16/32-bit), or None if not a decodable WAV —
+    the audio analogue of core/minipng.py: a REAL decode tier that needs
+    no external codec library."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data or b""), "rb") as w:
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            n_ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None or rate <= 0 or n_ch <= 0:
+            return None
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if width == 1:
+            x = (x - 128.0) / 128.0  # 8-bit WAV is unsigned
+        else:
+            x = x / float(2 ** (8 * width - 1))
+        if n_ch > 1:
+            x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+        return rate, x
+    except Exception:
+        return None
+
+
+def extract_audio_features(
+    media: DataFrame, n_frames: int = 8, fallback_acc=None
+) -> DataFrame:
+    """(url, n_bytes, sample_rate, n_samples, duration_ms, rms_frames,
+    decoded): batched audio feature extraction over binary media.
+
+    PCM WAV payloads decode FOR REAL through the stdlib ``wave`` module
+    (no codec dependency — deterministic on every executor, no
+    heterogeneous-cluster tier like the image path); per-frame RMS energy
+    over ``n_frames`` equal windows is the standard silence/clipping
+    screen for audio-corpus curation. Non-WAV/undecodable payloads fall
+    back to a deterministic content-derived stub (``decoded='stub'``,
+    metadata columns NULL) and count in ``fallback_acc`` when provided.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for url, data in zip(pdf["url"].values, pdf["media"].values):
+                data = bytes(data or b"")
+                out["url"].append(url)
+                out["n_bytes"].append(len(data))
+                dec = _decode_wav(data)
+                if dec is not None:
+                    rate, x = dec
+                    out["sample_rate"].append(int(rate))
+                    out["n_samples"].append(len(x))
+                    out["duration_ms"].append(int(len(x) * 1000 / rate))
+                    if len(x):
+                        stride = max(len(x) // n_frames, 1)
+                        rms = [
+                            float(
+                                np.sqrt(
+                                    np.mean(
+                                        np.square(
+                                            x[i * stride : (i + 1) * stride]
+                                        )
+                                    )
+                                )
+                            )
+                            if len(x[i * stride : (i + 1) * stride])
+                            else 0.0
+                            for i in range(n_frames)
+                        ]
+                    else:
+                        rms = [0.0] * n_frames
+                    out["rms_frames"].append(rms)
+                    out["decoded"].append("wav")
+                else:
+                    if fallback_acc is not None:
+                        fallback_acc.add(1)
+                    digest = hashlib.blake2b(data, digest_size=32).digest()
+                    rng = np.random.RandomState(
+                        int.from_bytes(digest[:4], "big")
+                    )
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_ms"].append(None)
+                    out["rms_frames"].append(
+                        rng.rand(n_frames).astype(float).tolist()
+                    )
+                    out["decoded"].append("stub")
+            yield pd.DataFrame(out)
+
+    from .session import ensure_parallelism
+
+    narrow = ensure_parallelism(media.select("url", "media"))
+    return narrow.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """(url, frame_idx, frame): deterministic equal-stride byte windows.
 
