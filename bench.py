@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_compression_ratio",
     "q_decontaminate",
     "q_unigram_logppl",
+    "q_audio_features",
 ]
 
 
