@@ -511,9 +511,13 @@ def _q_task_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         task_rollup,
     )
 
+    # pid-scoped path: deterministic within a process (idempotent re-runs
+    # wipe and rebuild) but two concurrent harnesses (parity + bench on the
+    # same SF) can't rmtree each other's checkpoint table mid-run
+    # (round-4 review finding)
     base = os.path.join(
         tempfile.gettempdir(),
-        f"ner_task_rollup_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"ner_task_rollup_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents").select(
@@ -1181,8 +1185,11 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_quality": r"""
             WITH base AS (
                 SELECT doc_id, text,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                                '\s+')
                        END AS words,
                        list_filter(regexp_split_to_array(text, '\n'),
                                    l -> trim(l) != '') AS lines
@@ -1228,8 +1235,11 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition_stats": r"""
             WITH base AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                                '\s+')
                        END AS words,
                        list_filter(regexp_split_to_array(text, '\n'),
                                    l -> trim(l) != '') AS lines
@@ -1260,8 +1270,11 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_logppl": r"""
             WITH tok AS (
                 SELECT doc_id, unnest(
-                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(
+                             lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                             '\s+')
                     END) AS token
                 FROM documents
             ), fr AS (
@@ -1278,8 +1291,11 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": r"""
             WITH wt AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                                '\s+')
                        END AS words
                 FROM documents
             ), gr AS (
@@ -1310,8 +1326,11 @@ def oracle_sql() -> dict[str, str]:
         "q_common_ngrams": r"""
             WITH w AS (
                 SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                                '\s+')
                        END AS words
                 FROM documents
             ), g AS (

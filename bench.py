@@ -116,11 +116,22 @@ class StderrCapture:
 
 
 def main() -> None:
+    # fd 2 must be restored and the captured log replayed even when a
+    # query raises (round-4 review finding: an exception after
+    # construction left the traceback in an orphaned temp file and the
+    # harness saw an empty failure)
+    cap = StderrCapture()
+    try:
+        _run(cap)
+    finally:
+        cap.close()
+
+
+def _run(cap: StderrCapture) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
     from ner_backend_spark.spark.session import get_spark
 
-    cap = StderrCapture()
     spark = get_spark("ner-backend-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
@@ -162,7 +173,6 @@ def main() -> None:
         "spark_errors_by_query": spark_errors,
     }
     spark.stop()
-    cap.close()
     print(json.dumps(result), flush=True)
 
 

@@ -77,9 +77,18 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT")
 
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) < (stride + 1) * height:
+    need = (stride + 1) * height
+    # bound the inflate by the declared image size BEFORE allocating: a
+    # few-KB crafted IDAT can otherwise expand to gigabytes and OOM the
+    # executor worker — this is the web-media path whose contract is that
+    # hostile payloads degrade to the stub, never kill the task
+    # (round-4 review finding)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), need)
+    if d.unconsumed_tail:
+        raise ValueError("IDAT inflates past the declared image size")
+    if len(raw) < need:
         raise ValueError("IDAT shorter than image")
 
     out = np.zeros((height, stride), dtype=np.uint8)

@@ -73,21 +73,12 @@ def common_ngrams(
     pre-filter grams by a cheap frequency sketch, or salt with
     skew.two_phase_count; at sandbox SF the partial aggregation suffices.
     """
-    t = F.col(text_col)
-    trimmed = F.trim(t)
-    words = F.when(
-        trimmed == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.lower(trimmed), r"\s+"))
-    docs = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
-    w = F.col("_w")
-    count = F.size(w) - (n - 1)
-    parts = [F.slice(w, i + 1, count) for i in range(n)]
-    grams = parts[0]
-    for p in parts[1:]:
-        grams = F.zip_with(grams, p, lambda x, y: F.concat_ws(" ", x, y))
-    grams = F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    from .textstats import word_ngrams, words_expr
+
+    docs = df.select(
+        F.col(id_col).alias("_id"), words_expr(F.col(text_col)).alias("_w")
     )
+    grams = word_ngrams(F.col("_w"), n)
     exploded = docs.select(
         "_id", F.explode(F.slice(grams, 1, max_grams_per_doc)).alias("ngram")
     )
@@ -122,22 +113,12 @@ def decontaminate(
     broadcast hash join — the corpus never shuffles on the gram. A LEFT
     join keeps gram-less/clean documents in the output with a zero count.
     """
+    from .textstats import word_ngrams, words_expr
+
     bench_text_col = bench_text_col or text_col
 
     def grams_of(text_col_name: str):
-        t = F.col(text_col_name)
-        trimmed = F.trim(t)
-        words = F.when(
-            trimmed == "", F.array().cast("array<string>")
-        ).otherwise(F.split(F.lower(trimmed), r"\s+"))
-        count = F.size(words) - (n - 1)
-        parts = [F.slice(words, i + 1, count) for i in range(n)]
-        out = parts[0]
-        for p in parts[1:]:
-            out = F.zip_with(out, p, lambda x, y: F.concat_ws(" ", x, y))
-        return F.when(F.size(words) >= n, out).otherwise(
-            F.array().cast("array<string>")
-        )
+        return word_ngrams(words_expr(F.col(text_col_name)), n)
 
     bench_grams = (
         benchmark.select(

@@ -114,10 +114,12 @@ def _decode_rgb(data: bytes) -> "np.ndarray | None":
         arr = minipng.decode(data)
     except Exception:
         return None
+    if arr.size == 0:
+        return None  # zero-width/height PNG: nothing to feature-extract
     if arr.ndim == 2:
-        return np.repeat(
-            arr[:, :, None].astype(np.float32), 3, axis=2
-        )
+        return np.repeat(arr[:, :, None].astype(np.float32), 3, axis=2)
+    if arr.shape[2] == 2:  # gray+alpha (color type 4): luma is channel 0
+        return np.repeat(arr[:, :, :1].astype(np.float32), 3, axis=2)
     return arr[:, :, :3].astype(np.float32)  # drop alpha like convert(RGB)
 
 
@@ -138,7 +140,7 @@ def _real_features(data: bytes, dim: int) -> "np.ndarray | None":
     decode — callers fall back to the stub, so codec presence can never
     turn a working plan into a crash (VERDICT r2 "What's wrong" #2)."""
     rgb = _decode_rgb(data)
-    if rgb is None:
+    if rgb is None or rgb.size == 0:
         return None
     gray = _luma(rgb)
     w = gray.shape[1]

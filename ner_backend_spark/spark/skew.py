@@ -104,7 +104,7 @@ def salted_join_hot_keys(
     hot = hot_keys(fact, key_col, threshold_fraction).select(
         F.col(key_col).alias("__hot_key")
     )
-    if salt_cols is None:
+    if not salt_cols:  # None OR [] fall back to the hashable default
         from pyspark.sql import types as T
 
         def hashable(dt) -> bool:

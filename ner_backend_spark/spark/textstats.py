@@ -185,12 +185,41 @@ def bpe_encode(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def _words(text: Column) -> Column:
-    """Lowercased whitespace tokens; empty/whitespace-only text -> []."""
-    trimmed = F.trim(text)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.lower(trimmed), r"\s+")
+def words_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty/whitespace-only text -> [].
+
+    Strips ALL (ASCII) whitespace at both ends via regexp — ``F.trim``
+    strips only spaces, so text with a trailing newline/tab would leave
+    boundary empty-string tokens after the split (round-4 review finding:
+    'words\\n' tokenized to 12 words incl. a phantom ''), inflating every
+    word-derived curation signal. Shared by the Gopher/repetition/LM
+    operators here and the n-gram builders in dedup (single-source
+    tokenization semantics; the DuckDB oracles mirror the same regex).
+    """
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(stripped), r"\s+")
     )
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Word n-gram array from a words array column — zip_with over n
+    offset slices so operands evaluate once per row (NOT
+    transform(sequence, i -> element_at(...)), whose lambda re-evaluates
+    the captured array expression per element — O(words²); see
+    add_repetition_stats). Shorter-than-n inputs yield []."""
+    count = F.size(words) - (n - 1)
+    parts = [F.slice(words, i + 1, count) for i in range(n)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(words) >= n, out).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# back-compat alias used throughout this module
+_words = words_expr
 
 
 def _nonempty_lines(text: Column) -> Column:
@@ -287,20 +316,12 @@ def add_repetition_stats(
     n_lines1 = F.greatest(F.size(lines), F.lit(1))
     n_words1 = F.greatest(F.size(words), F.lit(1))
     head = F.slice(words, 1, max_words)
-    n_head = F.size(head)
-    # zip_with over two offset slices, NOT transform(sequence, i ->
-    # element_at(head, i)): a lambda body re-evaluates its captured
+    # zip_with over offset slices (word_ngrams), NOT transform(sequence,
+    # i -> element_at(head, i)): a lambda body re-evaluates its captured
     # expression tree per element, so the element_at form re-split the
     # text once per bigram — O(words²) per row, measured 7 s for 5k docs
     # vs 0.2 s for this form (operands of zip_with evaluate once per row).
-    bigrams = F.when(
-        n_head >= 2,
-        F.zip_with(
-            F.slice(head, 1, n_head - 1),
-            F.slice(head, 2, n_head - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = word_ngrams(head, 2)
     # Mode count via sort + max equal-adjacent run length: array_sort is
     # native (no lambda) and the fold is LINEAR in the array. The naive
     # distinct×filter formulation is quadratic in *interpreted* lambda
@@ -360,6 +381,14 @@ def unigram_logppl(
     At web scale the vocabulary is zipf-bounded (far smaller than the
     corpus) and the frequency join shuffles on the token like any
     dimension join; hot tokens are exactly the well-aggregated head.
+
+    The plan deliberately scans the corpus TWICE (once aggregating
+    frequencies, once re-deriving tokens for the scoring join) rather
+    than checkpointing ``tok``: the exploded token table is corpus-sized
+    (~1.4x the text bytes), so materializing it trades a cheap columnar
+    re-scan for executor storage of the largest intermediate in the whole
+    engine — the wrong trade at 100 TB. Callers scoring MANY times against
+    one corpus should persist ``freqs`` (tiny) to a table instead.
     """
     t = F.col(text_col)
     words = _words(t)

@@ -361,6 +361,10 @@ def test_curation_ops_vs_independent_python_reference(spark):
         if i % 7 == 2:
             text += " ### " + "... " * 3
         docs.append((i, text))
+    docs.append((97, "words with a trailing newline\n"))  # round-4 review:
+    # F.trim strips only spaces — boundary \n/\t must not create '' tokens
+    docs.append((96, "\tleading tab and newline tail\n\n"))
+    docs.append((95, "\n\n"))
     docs.append((98, ""))
     docs.append((99, "   "))
     df = spark.createDataFrame(docs, ["doc_id", "text"])

@@ -346,6 +346,55 @@ def _make_png(width=4, height=4, value=128):
     )
 
 
+def test_minipng_gray_alpha_and_bomb_guard():
+    """Round-4 review fixes: (a) gray+alpha PNGs decode (and the feature
+    path uses channel 0 as luma instead of crashing on a 2-channel
+    array); (b) an IDAT inflating past the declared image size raises
+    instead of allocating it (decompression bomb) — so both degrade to
+    the stub in the kernel, never kill the task."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ner_backend_spark.core import minipng
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    # 2x2 gray+alpha (color type 4): gray 128, alpha 255
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 4, 0, 0, 0)
+    row = bytes([128, 255, 128, 255])
+    raw = b"\x00" + row + b"\x00" + row
+    ga_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    arr = minipng.decode(ga_png)
+    assert arr.shape == (2, 2, 2) and (arr[:, :, 0] == 128).all()
+    vec = multimodal._real_features(ga_png, 4)
+    assert vec is not None
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in vec)
+
+    # bomb: declared 2x2 gray but IDAT inflates to 10 MB
+    bomb_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", bomb_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        minipng.decode(bomb)
+    assert multimodal._real_features(bomb, 4) is None  # stub fallback path
+
+
 def test_minipng_roundtrip():
     """The vendored PNG codec: encode -> decode is lossless for gray and
     RGB, and rejects non-PNG bytes."""

@@ -89,9 +89,9 @@ def main() -> None:
         else "/tmp/spark_graft_scaling/pages_120000_m1"
     )
     model = sys.argv[2] if len(sys.argv) > 2 else "cnn_crf"
-    levels = [
+    levels = sorted(
         int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "4,16").split(",")
-    ]
+    )  # ascending: the efficiency formula divides last-by-first throughput
     files = sorted(glob.glob(os.path.join(pages_dir, "part-*.parquet")))
     if not files:
         raise SystemExit(f"no parquet files under {pages_dir}")
