@@ -865,6 +865,27 @@ def _q_presidio_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_report(pages.select("url", "text"), presidio_config()).entities
 
 
+def _q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page PII density (entities per token) from the presidio tagger —
+    the privacy-curation signal used to drop or redact PII-heavy documents
+    before LLM training. One model pass: report_rows already carries both
+    the entity array and the token count."""
+    from ner_backend_spark import fixtures
+    from ner_backend_spark.flagship import presidio_config, sf_page_count
+    from ner_backend_spark.spark.tagger import tag_documents
+
+    pages = fixtures.pages_df_distributed(spark, n=sf_page_count(sf_dir))
+    rows = tag_documents(pages.select("url", "text"), presidio_config())
+    return rows.select(
+        "url",
+        "total_tokens",
+        F.size("entities").cast("long").alias("n_entities"),
+        F.round(
+            F.size("entities") / F.greatest("total_tokens", F.lit(1)), 6
+        ).alias("pii_density"),
+    )
+
+
 def _q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.dedup import near_duplicates_minhash
 
@@ -946,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_unigram_logppl": _q_unigram_logppl,
         "q_presidio_pages": _q_presidio_pages,
+        "q_pii_density": _q_pii_density,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
         "q_lsh_ann": _q_lsh_ann,
@@ -1011,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
             "q_kmeans_assign",
             "q_compression_ratio",
             "q_audio_features",
+            "q_pii_density",
         )
     }
     # reference PK pagination (api.go:679-681) over the pipeline oracle —

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "14"
+ORACLE_VERSION = "15"
 
 _S = pa.string()
 _L = pa.int64()
@@ -99,6 +99,17 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_bpe_encode": (
         "oracle_bpe_encode",
         pa.schema([("doc_id", _L), ("n_bpe_tokens", _L), ("ids_hash", _S)]),
+    ),
+    "q_pii_density": (
+        "oracle_pii_density",
+        pa.schema(
+            [
+                ("url", _S),
+                ("total_tokens", _L),
+                ("n_entities", _L),
+                ("pii_density", _D),
+            ]
+        ),
     ),
     "q_audio_features": (
         "oracle_audio_features",

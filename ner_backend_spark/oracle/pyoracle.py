@@ -153,6 +153,27 @@ def oracle_task_rollup(sf_dir: str) -> list[tuple]:
     ]
 
 
+def oracle_pii_density(sf_dir: str) -> list[tuple]:
+    """(url, total_tokens, n_entities, pii_density) — the presidio pass
+    over the same distributed-generated pages, density rounded to 6 like
+    the Spark side (one exact int/int division, bit-identical)."""
+    import math
+
+    from .. import fixtures
+
+    n = flagship.sf_page_count(sf_dir)
+    pages = [(r[0], r[3]) for r in fixtures.generate_rows_distributed(n)]
+    rows = []
+    for url, res in _run_config(pages, flagship.presidio_config()):
+        ne = len(res.entities)
+        tt = res.total_tokens
+        # HALF_UP like Spark's round() — python round() is banker's and a
+        # genuine .xxxxxx5 tie is reachable (power-of-two token counts)
+        density = math.floor(ne / max(tt, 1) * 1e6 + 0.5) / 1e6
+        rows.append((url, tt, ne, density))
+    return rows
+
+
 def oracle_previews(sf_dir: str) -> list[tuple]:
     """(url, n_tokens, n_tags)."""
     rows = []

@@ -365,6 +365,9 @@ def test_curation_ops_vs_independent_python_reference(spark):
     # F.trim strips only spaces — boundary \n/\t must not create '' tokens
     docs.append((96, "\tleading tab and newline tail\n\n"))
     docs.append((95, "\n\n"))
+    # unicode NBSP/em-space are NOT whitespace to Java \s, RE2 \s, or the
+    # python mirror — they must survive as token characters on all three
+    docs.append((94, "nbsp joined and emspace\n"))
     docs.append((98, ""))
     docs.append((99, "   "))
     df = spark.createDataFrame(docs, ["doc_id", "text"])
