@@ -865,6 +865,49 @@ def _q_presidio_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_report(pages.select("url", "text"), presidio_config()).entities
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern LLM-data curation pipeline as ONE Spark plan:
+    Gopher quality rules (minus the stopword rule — vocabulary-dependent,
+    degenerate on the synthetic corpus) ∧ repetition bound ∧ benchmark
+    decontamination ∧ exact-dedup canonicalization → per-language doc and
+    token budget. The row-local signals (quality + repetition) chain on a
+    single documents scan; decontamination joins per doc; dedup is a
+    window-min over the content hash — at 100 TB each signal would be a
+    precomputed column and this query a pure filter+aggregate."""
+    from ner_backend_spark.spark.dedup import decontaminate
+    from ner_backend_spark.spark.textstats import (
+        add_gopher_quality,
+        add_repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = add_repetition_stats(add_gopher_quality(docs))
+    w = Window.partitionBy(F.md5("text"))
+    base = base.withColumn("_canon", F.min("doc_id").over(w))
+    bench = docs.filter(F.col("doc_id") < 20).select("text")
+    dec = decontaminate(docs, bench, "doc_id", "text", n=8).select(
+        "doc_id", "contaminated"
+    )
+    sel = (
+        base.join(dec, "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("_canon"))
+            & (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100_000)
+            & (F.col("mean_word_len") >= 3)
+            & (F.col("mean_word_len") <= 10)
+            & (F.col("symbol_word_ratio") < 0.1)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("top_bigram_frac") < 0.1)
+            & ~F.col("contaminated")
+        )
+    )
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
 def _q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page PII density (entities per token) from the presidio tagger —
     the privacy-curation signal used to drop or redact PII-heavy documents
@@ -968,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logppl": _q_unigram_logppl,
         "q_presidio_pages": _q_presidio_pages,
         "q_pii_density": _q_pii_density,
+        "q_curation_pipeline": _q_curation_pipeline,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
         "q_lsh_ann": _q_lsh_ann,
@@ -1045,7 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY url, start, "end"
         OFFSET 50 LIMIT 100
     """
-    return materialized | {
+    inline = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1528,3 +1572,33 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 5
         """,
     }
+    # The full-pipeline composite reuses the component oracles VERBATIM as
+    # subqueries — single-source semantics: a fix to any component SQL
+    # flows into the composite automatically.
+    inline["q_curation_pipeline"] = f"""
+        WITH gq AS ({inline['q_gopher_quality']}),
+             rep AS ({inline['q_repetition_stats']}),
+             dec AS ({inline['q_decontaminate']}),
+             canon AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS c
+                    FROM documents
+                ) WHERE doc_id = c
+             )
+        SELECT d.lang,
+               count(*) AS n_selected,
+               CAST(sum(gq.n_words) AS BIGINT) AS total_words
+        FROM documents d
+        JOIN gq USING (doc_id)
+        JOIN rep USING (doc_id)
+        JOIN dec USING (doc_id)
+        JOIN canon USING (doc_id)
+        WHERE gq.n_words >= 50 AND gq.n_words <= 100000
+          AND gq.mean_word_len >= 3 AND gq.mean_word_len <= 10
+          AND gq.symbol_word_ratio < 0.1
+          AND gq.alpha_word_frac >= 0.8
+          AND rep.top_bigram_frac < 0.1
+          AND NOT dec.contaminated
+        GROUP BY d.lang
+    """
+    return materialized | inline

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_decontaminate",
     "q_unigram_logppl",
     "q_audio_features",
+    "q_curation_pipeline",
 ]
 
 
