@@ -865,6 +865,38 @@ def _q_presidio_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_report(pages.select("url", "text"), presidio_config()).entities
 
 
+def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 skew machinery under the oracle gate (previously pytest-only):
+    exact per-key counts through the salted two-phase aggregation — the
+    (key, salt) partials spread a hot key over n_salts reducers; the
+    oracle is the plain GROUP BY, proving the salted path is exact."""
+    from ner_backend_spark.spark.skew import two_phase_count
+
+    events = _t(spark, sf_dir, "events")
+    return two_phase_count(events, "event_type", n_salts=8).select(
+        "event_type", F.col("count").cast("long").alias("n_events")
+    )
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join_hot_keys under the gate: hot event types (>5% of rows)
+    get content-derived salts with the dim side replicated per salt; the
+    oracle is the plain join+aggregate — row-for-row identical output."""
+    from ner_backend_spark.spark.skew import salted_join_hot_keys
+
+    events = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type").cast("long"))
+    )
+    joined = salted_join_hot_keys(events, dim, "event_type", n_salts=8)
+    return joined.groupBy("event_type", "type_len").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full modern LLM-data curation pipeline as ONE Spark plan:
     Gopher quality rules (minus the stopword rule — vocabulary-dependent,
@@ -1012,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_presidio_pages": _q_presidio_pages,
         "q_pii_density": _q_pii_density,
         "q_curation_pipeline": _q_curation_pipeline,
+        "q_salted_counts": _q_salted_counts,
+        "q_salted_join": _q_salted_join,
         "q_minhash_neardups": _q_minhash_neardups,
         "q_simhash_neardups": _q_simhash_neardups,
         "q_lsh_ann": _q_lsh_ann,
@@ -1333,6 +1367,17 @@ def oracle_sql() -> dict[str, str]:
                              / len(bigrams)
                         ELSE 0.0 END AS top_bigram_frac
             FROM b
+        """,
+        "q_salted_counts": """
+            SELECT event_type, count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "q_salted_join": """
+            SELECT event_type,
+                   CAST(length(event_type) AS BIGINT) AS type_len,
+                   count(*) AS n_rows,
+                   round(sum("value"), 2) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "q_unigram_logppl": r"""
             WITH tok AS (
