@@ -113,6 +113,12 @@ class StderrCapture:
             data = f.read()
         if data:
             os.write(2, data)
+            if not data.endswith(b"\n"):
+                # Spark progress bars end on a bare \r: without this the
+                # result JSON printed after the replay lands on the SAME
+                # newline-delimited line as the noise and the driver's
+                # last-line parse fails again
+                os.write(2, b"\n")
         os.unlink(self._log.name)
 
 
@@ -120,15 +126,23 @@ def main() -> None:
     # fd 2 must be restored and the captured log replayed even when a
     # query raises (round-4 review finding: an exception after
     # construction left the traceback in an orphaned temp file and the
-    # harness saw an empty failure)
+    # harness saw an empty failure).  The result JSON is printed only
+    # AFTER cap.close() replays the captured Spark log: a consumer that
+    # merges stdout+stderr and parses the last line (the driver harness)
+    # must see the JSON as the final output on any stream mix —
+    # round 4's BENCH file came back `parsed: null` because the replay
+    # landed after the JSON line.
     cap = StderrCapture()
+    result = None
     try:
-        _run(cap)
+        result = _run(cap)
     finally:
         cap.close()
+        if result is not None:
+            print(json.dumps(result), flush=True)
 
 
-def _run(cap: StderrCapture) -> None:
+def _run(cap: StderrCapture) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
     from ner_backend_spark.spark.session import get_spark
@@ -174,7 +188,7 @@ def _run(cap: StderrCapture) -> None:
         "spark_errors_by_query": spark_errors,
     }
     spark.stop()
-    print(json.dumps(result), flush=True)
+    return result
 
 
 if __name__ == "__main__":

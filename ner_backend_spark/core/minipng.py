@@ -69,6 +69,11 @@ def decode(data: bytes) -> np.ndarray:
                 raise ValueError("interlaced PNG unsupported")
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard compression/filter method")
+            # zero-dimension PNGs are invalid per spec — and need==0 below
+            # would make decompress(..., max_length=0) mean UNLIMITED,
+            # silently bypassing the bomb guard (round-5 advice)
+            if width == 0 or height == 0:
+                raise ValueError("zero-dimension PNG")
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":

@@ -451,7 +451,12 @@ def oracle_audio_features(sf_dir: str) -> list[tuple]:
             else 0.0
             for i in range(4)
         ]
-        rms32 = [round(float(np.float32(v)), 6) for v in rms]
+        # HALF_UP like Spark's F.round — Python round() is half-even and
+        # would diverge on an exact decimal tie at the 6th digit (round-5
+        # advice; same formulation as oracle_pii_density)
+        rms32 = [
+            math.floor(float(np.float32(v)) * 1e6 + 0.5) / 1e6 for v in rms
+        ]
         rows.append(
             (
                 str(doc_id),
@@ -541,10 +546,11 @@ def _native_entities(sf_dir: str) -> list[tuple[str, str, str]]:
 
 def _norm_surface(s: str) -> str:
     """Mirror spark/kg.normalize_surface BIT-exactly: Spark's trim strips
-    only ASCII spaces and Java's \\s is the ASCII class — Python's Unicode
-    strip()/\\s would diverge on tabs/NBSP surfaces (latent parity hazard;
-    same pinned class as _winnow_fps_py)."""
-    return re.sub(r"[ \t\n\x0b\f\r]+", " ", s.strip(" ").lower())
+    only ASCII spaces; whitespace class pinned to RE2's \\s = [ \\t\\n\\f\\r]
+    (textstats.WS) — Python's Unicode strip()/\\s would diverge on
+    \\x0B/NBSP surfaces (latent parity hazard; same pinned class as
+    _winnow_fps_py)."""
+    return re.sub(r"[ \t\n\f\r]+", " ", s.strip(" ").lower())
 
 
 def _trigrams_py(norm: str) -> list[str]:
@@ -586,9 +592,9 @@ def oracle_winnow_fingerprints(sf_dir: str) -> list[tuple]:
     k, w = flagship.WINNOW["k"], flagship.WINNOW["window"]
     rows = []
     for doc_id, text in load_documents(sf_dir):
-        # Spark: regexp_replace(lower(trim(text)), '\s+', ' ') — trim strips
-        # spaces only; Java \s is ASCII whitespace
-        t = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+        # Spark: regexp_replace(lower(trim(text)), '[ \\t\\n\\f\\r]+', ' ') —
+        # trim strips spaces only; class pinned to RE2 \s (textstats.WS)
+        t = re.sub(r"[ \t\n\f\r]+", " ", (text or "").strip(" ").lower())
         n = max(len(t) - (k - 1), 1)
         hashes = [spark_hash(t[i : i + k]) for i in range(n)]
         nw = max(len(hashes) - (w - 1), 1)

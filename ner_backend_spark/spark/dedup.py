@@ -147,6 +147,83 @@ def decontaminate(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+    max_words: int = 2000,
+) -> DataFrame:
+    """(id, n_words, n_dup_grams, n_masked, kept_hash): substring-granularity
+    exact dedup — the ExactSubstr family of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed relationally:
+    instead of a corpus suffix array, any word ``k``-gram occurring >=
+    ``min_count`` times corpus-wide (counting multiplicity, so within-doc
+    repeats qualify exactly as a suffix array would find them) marks its
+    covered token span for removal; the per-document removal mask is the
+    union of covered spans and ``kept_hash`` pins the surviving token
+    sequence byte-for-byte under the driver's value-hash gate.
+
+    Scale shape: n-grams build row-locally (zip_with offset slices — the
+    no-per-element-re-eval pattern of :func:`common_ngrams`), capped at
+    ``max_words`` tokens per document so one outlier can't own its task.
+    Two shuffles total: the gram-frequency groupBy keyed on xxhash64(gram)
+    (8-byte keys, map-side combined — the gram string itself never
+    shuffles), and the dup-position collect per doc. The mask application
+    is row-local: an index-aware ``filter`` over the (materialized) token
+    array testing membership against the sorted dup-start array — O(words
+    x dup_starts) per row, both bounded by ``max_words``. A truly hot gram
+    (site boilerplate) fans its occurrence list wide but each occurrence
+    row is (id, pos) — 16 bytes — and lands on its owning document's
+    reducer, so no single key concentrates.
+    """
+    from .textstats import word_ngrams, words_expr
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.slice(words_expr(F.col(text_col)), 1, max_words).alias("_w"),
+    ).select("_id", "_w", word_ngrams(F.col("_w"), k).alias("_g"))
+
+    occ = base.select(
+        "_id", F.posexplode("_g").alias("pos", "gram")
+    ).select("_id", "pos", F.xxhash64("gram").alias("gh"))
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    dup_pos = (
+        occ.join(dup, "gh")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dp"))
+    )
+
+    j = base.join(dup_pos, "_id", "left").select(
+        "_id",
+        "_w",
+        F.coalesce("_dp", F.array().cast("array<int>")).alias("_dp"),
+    )
+    # gram at 0-based pos p covers tokens [p, p+k-1]; token i survives iff
+    # no dup start lies in (i-k, i]. _w/_dp are plain column attributes
+    # here (selected above), so the lambdas bind references — no captured
+    # expression re-evaluates per element.
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(
+            F.col("_dp"), lambda p: (p <= i) & (p > i - F.lit(k))
+        ),
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        F.size("_w").cast("long").alias("n_words"),
+        F.size("_dp").cast("long").alias("n_dup_grams"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_masked"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_hash"),
+    )
+
+
 def _murmur3_kgrams_numpy(data: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
     """Signed-int32 Spark hash() of every k-byte window of ``data`` (uint8).
 
@@ -192,7 +269,7 @@ def _winnow_fps_py(text: str, k: int, window: int) -> np.ndarray:
 
     from ..core.spark_hash import murmur3_bytes, _signed32
 
-    norm = _re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower())
+    norm = _re.sub(r"[ \t\n\f\r]+", " ", (text or "").strip(" ").lower())
     if len(norm) < k:
         # expression form: substring(t, 1, k) of a short string = the string
         return np.array(
@@ -268,7 +345,7 @@ def winnow_fingerprints(
 
         narrow = ensure_parallelism(df.select(id_col, text_col))
         return narrow.mapInPandas(run, out_schema)
-    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\f\r]+", " ")
     n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     # TWO selects, deliberately: the window pass below references `hashes`
     # twice (size + slice-per-window). Materialized as a column attribute,
@@ -558,7 +635,7 @@ def token_jaccard(
     """
     toks = docs.select(
         F.col(id_col).cast("long").alias("id"),
-        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
+        F.array_distinct(F.split(F.trim(F.col(text_col)), r"[ \t\n\f\r]+")).alias("toks"),
     )
     a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))

@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# diagnostic: star rounds executed by the last connected_components call
+# (read by tools/kg_tail_probe.py; never consulted by the operators)
+LAST_CC_ROUNDS: int | None = None
+
 
 def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize a shared subplan in a deployment-appropriate way.
@@ -68,7 +72,7 @@ def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
 
 def normalize_surface(col):
     """Deterministic surface normalization for matching/blocking."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(col)), r"[ \t\n\f\r]+", " ")
 
 
 def extract_mentions(entities: DataFrame) -> DataFrame:
@@ -350,7 +354,7 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, steps_per_round: int = 2
 ) -> DataFrame:
     """(id, component): component = min node id in the component.
 
@@ -373,9 +377,21 @@ def connected_components(
     reliable = (
         edges.sparkSession.sparkContext.getCheckpointDir() is not None
     )
+    # TWO star alternations per materialize+checksum: the driver-blocking
+    # checksum job is the per-round fixed cost that caps e2e scaling
+    # efficiency (SCALING_m10 0.521 — round-4 diagnosis: fixed latency,
+    # not data volume), and the alternating algorithm is idempotent at the
+    # fixpoint, so checksum equality across a double step still detects
+    # convergence exactly. Halves the number of driver round-trips for the
+    # same shuffle count (round-4 "Next round" #3).
+    global LAST_CC_ROUNDS
     prev_sum = None
-    for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur))
+    rounds = 0
+    for _ in range((max_iter + steps_per_round - 1) // steps_per_round):
+        nxt = cur
+        for _s in range(steps_per_round):
+            nxt = _small_star(_large_star(nxt))
+        rounds += steps_per_round
         if reliable:
             cur = _materialize(nxt)
         else:
@@ -384,6 +400,7 @@ def connected_components(
         if checksum == prev_sum:
             break
         prev_sum = checksum
+    LAST_CC_ROUNDS = rounds
 
     # final edges are (node -> root) stars; roots map to themselves; nodes
     # come from the unfiltered base so self-loop-only nodes keep their id

@@ -9,6 +9,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Whitespace class pinned explicitly: Java's \s (Spark) is
+# [ \t\n\x0B\f\r] while RE2's \s (DuckDB oracles) is [ \t\n\f\r] — a
+# document containing \x0B would tokenize differently on the two sides
+# (round-5 advice). The RE2 set is the pinned semantics; every
+# tokenization regex (here, dedup, kg, the Python oracle mirrors) spells
+# it out instead of writing \s.
+WS = r"[ \t\n\f\r]"
+
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
@@ -23,7 +31,7 @@ def token_count(text: Column) -> Column:
     empty text -> 0 tokens (processor.go:640-641)."""
     trimmed = F.trim(text)
     return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, WS + "+"))
     )
 
 
@@ -37,7 +45,7 @@ def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_chars": F.length(t),
             "n_bytes": F.octet_length(t),
             "mean_token_len": F.when(n_tokens > 0, (
-                F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens
+                F.length(F.regexp_replace(t, WS + "+", "")) / n_tokens
             )).otherwise(F.lit(0.0)),
         }
     )
@@ -52,14 +60,14 @@ def add_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     # every non-ASCII LETTER (ü, é, 東) as punctuation and collapsed
     # quality_score to ~0 for non-English prose (round-3 review finding).
     # \p{L}\p{N} works identically in Java regex (Spark) and RE2 (DuckDB).
-    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_ \t\n\f\r]", ""))
     digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     upper = F.length(t) - F.length(F.regexp_replace(t, r"\p{Lu}", ""))
     n_tokens = F.greatest(token_count(t), F.lit(1))
     sw = STOPWORDS["en"]
     sw_hits = F.size(
         F.filter(
-            F.split(F.lower(F.trim(t)), r"\s+"),
+            F.split(F.lower(F.trim(t)), WS + "+"),
             lambda w: w.isin(sw),
         )
     )
@@ -94,7 +102,7 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     A character-n-gram model would be a drop-in replacement; the operator
     shape (tokenize once, score K literal word sets) is what matters.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col(text_col))), WS + "+")
     scores = [
         F.struct(
             F.size(F.filter(words, lambda w: w.isin(sw))).alias("hits"),
@@ -118,8 +126,8 @@ BPE_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
-    r"|\s+"
+    r"| ?[^ \t\n\f\r\p{L}\p{N}]+"
+    r"|[ \t\n\f\r]+"
 )
 
 
@@ -186,7 +194,7 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def words_expr(text: Column) -> Column:
-    """Lowercased whitespace tokens; empty/whitespace-only text -> [].
+    r"""Lowercased whitespace tokens; empty/whitespace-only text -> [].
 
     Strips ALL (ASCII) whitespace at both ends via regexp — ``F.trim``
     strips only spaces, so text with a trailing newline/tab would leave
@@ -194,11 +202,13 @@ def words_expr(text: Column) -> Column:
     'words\\n' tokenized to 12 words incl. a phantom ''), inflating every
     word-derived curation signal. Shared by the Gopher/repetition/LM
     operators here and the n-gram builders in dedup (single-source
-    tokenization semantics; the DuckDB oracles mirror the same regex).
+    tokenization semantics; the DuckDB oracles' RE2 \s IS this class —
+    Java \s would add \x0B, a latent parity break, hence the explicit
+    spelling).
     """
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(text, "^" + WS + "+|" + WS + "+$", "")
     return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.lower(stripped), r"\s+")
+        F.split(F.lower(stripped), WS + "+")
     )
 
 
@@ -361,6 +371,68 @@ def add_repetition_stats(
     )
 
 
+# Deterministic linear quality model over the already-computed curation
+# signals — the fastText/CCNet-classifier analogue ("educational value"
+# scoring) without a heavyweight model. Features are deliberately the
+# exact-integer-ratio doubles from add_gopher_quality/add_repetition_stats
+# (bit-identical Spark vs DuckDB) combined with pure arithmetic (no ln on
+# the feature path), so the logit itself is bit-identical on both sides;
+# only the sigmoid's exp() needs the round-to-6 guard.
+QUALITY_CLF_WEIGHTS = {
+    "bias": -2.5,
+    "len_frac": 3.0,       # least(n_words/100, 1): enough material
+    "alpha_word_frac": 2.0,  # prose-likeness
+    "symbol_word_ratio": -4.0,
+    "dup_word_frac": -2.0,   # within-doc repetition
+    "top_bigram_frac": -3.0,
+    "mean_word_len": 0.3,    # least(mean_word_len, 10)
+}
+
+
+def quality_logit_expr() -> Column:
+    """The classifier logit over signal COLUMNS (n_words, mean_word_len,
+    symbol_word_ratio, alpha_word_frac, dup_word_frac, top_bigram_frac must
+    already exist) — factored out so the single-scan curation composite
+    consumes it from its own precomputed columns."""
+    w = QUALITY_CLF_WEIGHTS
+    return (
+        F.lit(w["bias"])
+        + F.lit(w["len_frac"])
+        * F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+        + F.lit(w["alpha_word_frac"]) * F.col("alpha_word_frac")
+        + F.lit(w["symbol_word_ratio"]) * F.col("symbol_word_ratio")
+        + F.lit(w["dup_word_frac"]) * F.col("dup_word_frac")
+        + F.lit(w["top_bigram_frac"]) * F.col("top_bigram_frac")
+        + F.lit(w["mean_word_len"])
+        * F.least(F.col("mean_word_len"), F.lit(10.0))
+    )
+
+
+def add_quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """quality_logit, quality_prob, clf_keep: score documents with the
+    deterministic linear quality model. Computes the underlying signals if
+    absent (one scan, all codegen); callers that already ran
+    add_gopher_quality + add_repetition_stats reuse their columns."""
+    needed = {
+        "n_words", "mean_word_len", "symbol_word_ratio", "alpha_word_frac",
+        "dup_word_frac", "top_bigram_frac",
+    }
+    if not needed.issubset(set(df.columns)):
+        df = add_repetition_stats(
+            add_gopher_quality(df, text_col), text_col
+        )
+    logit = quality_logit_expr()
+    return df.withColumns(
+        {
+            "quality_logit": F.round(logit, 6),
+            "quality_prob": F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
+            ),
+            "clf_keep": logit > 0,
+        }
+    )
+
+
 def unigram_logppl(
     df: DataFrame, id_col: str, text_col: str, round_digits: int = 4
 ) -> DataFrame:
@@ -467,5 +539,5 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     Content-defined, collation-free, and portable (same value in DuckDB:
     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))).
     """
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS + "+", " ")
     return df.withColumn("fingerprint", F.md5(normalized))

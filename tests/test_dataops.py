@@ -330,8 +330,8 @@ def _py_words(text):
 
     # mirror Java \s (ASCII-only) and Spark trim (spaces), NOT Python's
     # unicode-aware .split()/.strip()
-    t = text.strip(" \t\n\x0b\f\r")
-    return _re.split(r"[ \t\n\x0b\f\r]+", t.lower()) if t else []
+    t = text.strip(" \t\n\f\r")
+    return _re.split(r"[ \t\n\f\r]+", t.lower()) if t else []
 
 
 def _py_lines(text):
@@ -523,3 +523,112 @@ def test_minhash_matrix_is_true_mod_p():
     for i in range(16):
         for j in range(0, 50, 7):
             assert int(got[i, j]) == (int(a[i]) * int(h[j]) + int(b[i])) % _MERSENNE
+
+
+def _py_exact_substring(rows, k=3, min_count=2, max_words=2000):
+    """Independent reference: suffix-array-free ExactSubstr masks."""
+    import hashlib
+
+    W = {d: _py_words(t)[:max_words] for d, t in rows}
+    occ = {}
+    for w in W.values():
+        for i in range(len(w) - k + 1):
+            g = " ".join(w[i : i + k])
+            occ[g] = occ.get(g, 0) + 1
+    dup = {g for g, c in occ.items() if c >= min_count}
+    out = {}
+    for d, w in W.items():
+        ds = [
+            i
+            for i in range(len(w) - k + 1)
+            if " ".join(w[i : i + k]) in dup
+        ]
+        kept = [
+            w[i]
+            for i in range(len(w))
+            if not any(p <= i < p + k for p in ds)
+        ]
+        out[d] = (
+            len(w),
+            len(ds),
+            len(w) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_exact_substring_dedup(spark):
+    """Lee-et-al-style substring dedup vs an independent Python mirror:
+    cross-doc duplicated spans masked, within-doc repeats masked (a suffix
+    array would find those too), unique text and empty/short docs kept."""
+    rows = [
+        (0, "alpha beta gamma delta unique tail one"),
+        (1, "prefix alpha beta gamma delta another ending"),  # shares 5-gram? no: k=3 run
+        (2, "totally different words without overlap here"),
+        (3, "loop loop loop loop loop loop"),  # within-doc repeat
+        (4, ""),  # empty
+        (5, "tiny doc"),  # shorter than k
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_dup_grams"], r["n_masked"], r["kept_hash"]
+        )
+        for r in dedup.exact_substring_dedup(
+            df, "doc_id", "text", k=3, min_count=2
+        ).collect()
+    }
+    want = _py_exact_substring(rows, k=3, min_count=2)
+    assert got == want
+    # the shared "alpha beta gamma delta" run must be masked in both docs
+    assert got[0][2] >= 4 and got[1][2] >= 4
+    # the unique doc keeps everything
+    assert got[2][2] == 0 and got[2][0] == 6
+    # within-doc repetition masks itself without any cross-doc partner
+    assert got[3][2] == got[3][0]
+    # empty and sub-k docs survive untouched
+    assert got[4] == want[4] and got[5][2] == 0
+
+
+def test_quality_classifier(spark):
+    """Deterministic logistic quality model: logit reproduces the weighted
+    sum of the curation signals exactly; prose beats degenerate text."""
+    import math
+
+    prose = " ".join(
+        f"word{i} the and of that with some more text" for i in range(12)
+    )
+    junk = "spam " * 80  # one word repeated: dup_word_frac ~1, top bigram ~1
+    df = spark.createDataFrame(
+        [(0, prose), (1, junk.strip())], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.add_quality_classifier(df).collect()
+    }
+    sig = {
+        r["doc_id"]: r
+        for r in textstats.add_repetition_stats(
+            textstats.add_gopher_quality(df)
+        ).collect()
+    }
+    w = textstats.QUALITY_CLF_WEIGHTS
+    for d in (0, 1):
+        s = sig[d]
+        logit = (
+            w["bias"]
+            + w["len_frac"] * min(s["n_words"] / 100.0, 1.0)
+            + w["alpha_word_frac"] * s["alpha_word_frac"]
+            + w["symbol_word_ratio"] * s["symbol_word_ratio"]
+            + w["dup_word_frac"] * s["dup_word_frac"]
+            + w["top_bigram_frac"] * s["top_bigram_frac"]
+            + w["mean_word_len"] * min(s["mean_word_len"], 10.0)
+        )
+        assert abs(out[d]["quality_logit"] - round(logit, 6)) < 2e-6
+        assert (
+            abs(out[d]["quality_prob"] - round(1 / (1 + math.exp(-logit)), 6))
+            < 2e-6
+        )
+        assert out[d]["clf_keep"] == (logit > 0)
+    assert out[0]["quality_prob"] > out[1]["quality_prob"]
+    assert out[0]["clf_keep"] and not out[1]["clf_keep"]

@@ -195,3 +195,20 @@ def test_neardup_caps_broadcast_only_oversized_keys(spark):
     ):
         plan = _plan(df)
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_curation_pipeline_single_corpus_scan(spark):
+    """The full curation composite must scan the corpus ONCE: the
+    decontamination flag folds into the base scan as a row-local
+    arrays_overlap against a broadcast one-row benchmark-gram set (the
+    only other documents read is the doc_id<20-pruned benchmark side),
+    and no join on doc_id survives in the physical plan (round-4 "Next
+    round" #6 — the old shape re-scanned the corpus and shuffled a
+    corpus-wide doc_id join back)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q_curation_pipeline"](spark, SF001))
+    assert plan.count("documents.parquet") == 2  # corpus + pruned bench
+    assert "arrays_overlap" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row gram set, broadcast
+    assert "Exchange hashpartitioning(doc_id" not in plan

@@ -10,6 +10,12 @@ int32-vs-int64) but keep decimal distinct from int/float, which is exactly
 the HUGEINT class of bug.
 
 Usage: python tools/check_parity.py [sf_dir] [name_substring ...]
+       [--out=PARITY.json]
+
+--out writes a machine-readable per-query record (status ok/fail/rows_only,
+row count, wall seconds, sf_dir) — committed each round as PARITY_rN.json so
+the driver-verified vs self-verified split is self-documenting (round-4
+verdict item #7).
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+import json  # noqa: E402
 import time  # noqa: E402
 
 import duckdb  # noqa: E402
@@ -129,8 +136,14 @@ def _multiset(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = sys.argv[1:]
+    out_path = None
+    for a in list(argv):
+        if a.startswith("--out="):
+            out_path = a[len("--out="):]
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
 
     # pin the materialized oracle tables to the SF under test — without
     # this, oracle_sql() defaults them to sf0.01 and every materialized
@@ -152,6 +165,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     queries = entry_mod.queries()
     failed = []
+    records = {}
     for name in sorted(queries):
         if filters and not any(f in name for f in filters):
             continue
@@ -159,6 +173,11 @@ def main() -> int:
         t0 = time.monotonic()
         if name not in oracles:
             n = fn(spark, sf_dir).count()
+            records[name] = {
+                "status": "rows_only",
+                "rows": n,
+                "sec": round(time.monotonic() - t0, 2),
+            }
             print(
                 f"ROWS_ONLY {name}: {n} rows"
                 f" [{time.monotonic() - t0:.1f}s]",
@@ -173,6 +192,7 @@ def main() -> int:
         d_rows = res.fetchall()
         if sorted(s_cols) != sorted(d_cols):
             failed.append(name)
+            records[name] = {"status": "fail", "why": "columns"}
             print(f"FAIL {name}: columns {s_cols} vs {d_cols}")
             continue
         # type gate: LIMIT 0 re-execution is cheap and yields the oracle's
@@ -187,23 +207,45 @@ def main() -> int:
         tdiffs = _type_diffs(sdf.schema, d_schema)
         if tdiffs:
             failed.append(name)
+            records[name] = {"status": "fail", "why": "types"}
             print(f"FAIL {name}: result-type divergence: {'; '.join(tdiffs)}")
             continue
         got, want = _multiset(s_rows, s_cols), _multiset(d_rows, d_cols)
         if got != want:
             failed.append(name)
+            records[name] = {"status": "fail", "why": "values"}
             diff = next(
                 ((a, b) for a, b in zip(got, want) if a != b),
                 (f"len {len(got)}", f"len {len(want)}"),
             )
             print(f"FAIL {name}: first diff {diff}")
         else:
+            records[name] = {
+                "status": "ok",
+                "rows": len(got),
+                "sec": round(time.monotonic() - t0, 2),
+            }
             print(
                 f"OK   {name}: {len(got)} rows"
                 f" [{time.monotonic() - t0:.1f}s]",
                 flush=True,
             )
     spark.stop()
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(records),
+                    "n_failed": len(failed),
+                    "all_ok": not failed,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
     print(f"\n{'ALL OK' if not failed else 'FAILURES: ' + ', '.join(failed)}")
     return 1 if failed else 0
 
