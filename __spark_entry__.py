@@ -1037,6 +1037,65 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity in-degree of the triples graph split by predicate — the
+    first consumption query on a materialized KG and the skew census that
+    identifies hot entities. Oracle: the same aggregate in DuckDB over the
+    pure-Python q_kg_triples oracle table (compositional)."""
+    from ner_backend_spark.spark.graph import degrees
+
+    return degrees(_q_kg_triples(spark, sf_dir))
+
+
+def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance: 3 fixed PageRank power iterations over the
+    undirected subj—obj graph (one shuffle per iteration; edges
+    partitioned once). Oracle: the identical 3-iteration update written
+    as chained CTEs over the q_kg_triples oracle table."""
+    from ner_backend_spark.spark.graph import pagerank, symmetric_edges
+
+    ranks = pagerank(symmetric_edges(_q_kg_triples(spark, sf_dir)), iters=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence pairs (distant-supervision primitive): capped
+    per-page self-join, co-partitioned on subj, K(K-1)/2 max pairs per
+    page regardless of hub size."""
+    from ner_backend_spark.spark.graph import cooccurring_pairs
+
+    return cooccurring_pairs(_q_kg_triples(spark, sf_dir), max_per_subj=20)
+
+
+def _q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time lookup): each click event picks up the
+    latest view value at-or-before its timestamp per user — the union +
+    running-last window formulation (one shuffle, linear per key; never
+    the quadratic join-then-argmax). Oracle: DuckDB's native ASOF LEFT
+    JOIN over the same deduplicated view table."""
+    from ner_backend_spark.spark.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("click_value", 2).alias("click_value"),
+        F.round("view_value", 2).alias("view_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate verified exactly the
     # FIRST 50 entries in round 4 (CORRECTNESS_r04 omitted precisely the
@@ -1105,6 +1164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hourly_events": _q_hourly_events,
         "q_semi_join": _q_semi_join,
         # ---- driver row-cap boundary (first 50 above) ----
+        # KG consumption analytics (round 5): graph math over the triples
+        "q_kg_degrees": _q_kg_degrees,
+        "q_kg_pagerank": _q_kg_pagerank,
+        "q_kg_cooccurrence": _q_kg_cooccurrence,
+        "q_asof_events": _q_asof_events,
         "q_order_priority": _q_order_priority,
         "q_events_json": _q_events_json,
         "q_anti_join": _q_anti_join,
@@ -1193,7 +1257,74 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY url, start, "end"
         OFFSET 50 LIMIT 100
     """
+    # KG consumption analytics: compositional oracles — DuckDB SQL over the
+    # SAME pure-Python triples table the q_kg_triples gate row hashes
+    # against, so the graph math is checked independently of the Spark KG
+    # pipeline feeding it.
+    _tri = f"read_parquet('{odir}/q_kg_triples.parquet')"
+    materialized["q_kg_degrees"] = f"""
+        SELECT pred, obj, count(DISTINCT subj) AS n_subj
+        FROM {_tri} GROUP BY pred, obj
+    """
+    # 3 fixed power iterations, damping 0.85, over the symmetrized distinct
+    # edge set (every node has outdeg >= 1, so no dangling-mass term) —
+    # the exact update _q_kg_pagerank runs; final round(6) absorbs
+    # FP-summation-order ULPs on both engines.
+    _pr_iter = """
+        c{i} AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
+                 FROM edges e
+                 JOIN r{p} r ON e.src = r.id
+                 JOIN deg d ON e.src = d.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT nodes.id,
+                        (1.0 - 0.85) / nn.n + 0.85 * coalesce(c{i}.c, 0.0) AS rank
+                 FROM nodes CROSS JOIN nn
+                 LEFT JOIN c{i} ON nodes.id = c{i}.id)"""
+    materialized["q_kg_pagerank"] = (
+        f"""
+        WITH e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM {_tri}),
+        edges AS (SELECT src, dst FROM e0
+                  UNION SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
+        + ",".join(_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT id AS node, round(rank, 6) AS rank FROM r3
+    """
+    )
+    materialized["q_kg_cooccurrence"] = f"""
+        WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
+        capped AS (
+            SELECT subj, obj FROM (
+                SELECT subj, obj,
+                       row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+                FROM objs
+            ) WHERE rn <= 20
+        )
+        SELECT a.obj AS obj_a, b.obj AS obj_b, count(*) AS n_subj
+        FROM capped a JOIN capped b
+          ON a.subj = b.subj AND a.obj < b.obj
+        GROUP BY a.obj, b.obj
+    """
     inline = {
+        "q_asof_events": """
+            WITH views AS (
+                SELECT user_id, ts, max(value) AS view_value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            ),
+            clicks AS (
+                SELECT event_id, user_id, ts, value AS click_value
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id,
+                   round(c.click_value, 2) AS click_value,
+                   round(v.view_value, 2) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_unigram_logppl",
     "q_audio_features",
     "q_curation_pipeline",
+    "q_asof_events",
 ]
 
 

@@ -1,0 +1,78 @@
+"""As-of (temporal) join — the operator Spark's DataFrame API lacks.
+
+For each left row, attach the right row with the greatest right
+timestamp <= (or <, with ``inclusive=False``) the left timestamp within
+the same key group — the standard point-in-time lookup (latest price at
+order time, last view before a click, config active at event time).
+
+Implementation is the union trick, NOT a join: tag both sides, union,
+and take a running ``last(value, ignorenulls=True)`` over a window
+partitioned by the key and ordered by (ts, side). That is ONE shuffle
+on the key + one sort — per-key work is linear in |left|+|right|,
+regardless of how many right rows precede each left row. A naive
+join-then-max formulation (left ⋈ right ON key AND r.ts <= l.ts, then
+argmax per left row) materializes O(|left| * |right|) intermediate rows
+per key — quadratic on hot keys, the exact blowup the 100 TB design
+rules out. DuckDB's ASOF JOIN (the oracle) implements the same
+semantics natively.
+
+Right-side rows must be unique per (key, ts) for the result to be
+well-defined; callers aggregate first (the gate query takes
+max(value) per (user_id, ts)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left as-of join: all left columns + right ``value_cols`` (null
+    when no right row precedes).
+
+    ``inclusive=True`` matches right rows with right_ts <= left_ts
+    (DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``); ``False`` is strict.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    bad = set(value_cols) & set(left.columns)
+    if bad:
+        raise ValueError(f"right value columns collide with left: {bad}")
+
+    l_tag = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        *value_cols,
+    )
+    # at equal ts: side 0 (right) sorts first when inclusive, so the
+    # running last() has already absorbed it when the left row is read;
+    # strict mode flips the tie order so an equal-ts right row is unseen
+    if not inclusive:
+        r_tag = r_tag.withColumn("_asof_side", F.lit(2))
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.filter(F.col("_asof_side") == 1).select(
+        *left.columns, *value_cols
+    )

@@ -1,0 +1,150 @@
+"""Graph analytics over the materialized knowledge graph.
+
+New per north_star (kg_construct tier): once (subj, pred, obj) triples
+exist, the standard consumption workloads are entity-importance
+(PageRank), degree profiles, and entity co-occurrence mining. The
+reference backend stops at entity storage + count queries
+(internal/core/processor.go:339-420 persists entities; api.go exposes
+count/pagination), so these are beyond-reference operators in the
+SURVEY §2.12 family. Their oracles are *compositional*: DuckDB SQL over
+the SAME pure-Python triples table the q_kg_triples gate row compares
+against, so the graph math is verified independently of the Spark KG
+pipeline that feeds it.
+
+Scale notes (100 TB / 10^12-document corpus -> ~10^10-node graph):
+
+- ``degrees``: one map-side-combined groupBy on (pred, obj). countDistinct
+  lowers to a two-phase partial aggregate; no driver-side state.
+- ``pagerank``: per iteration exactly ONE shuffle — the contribution
+  groupBy(dst). The edge table is hash-partitioned ONCE on src and
+  materialized; the per-iteration rank join hits that same partitioning
+  (rank is produced keyed the same way), so AQE schedules no extra
+  exchange for the edge side. Ranks are node-sized, never edge-sized.
+- ``cooccurring_pairs``: the per-subj cap (deterministic smallest-K
+  objects) bounds the self-join blowup at K(K-1)/2 pairs per page —
+  the same structural bound the KG blocking stage uses (KG_MAX_BUCKET):
+  hub pages contribute a fixed number of pairs, not a quadratic one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .kg import _materialize
+
+
+def degrees(triples: DataFrame) -> DataFrame:
+    """(pred, obj, n_subj): per-entity in-degree split by predicate.
+
+    The "how many pages reference this canonical entity" profile —
+    the first query any KG consumer runs, and the skew census that
+    decides which entities need the hot-key treatment downstream.
+    """
+    return triples.groupBy("pred", "obj").agg(
+        F.countDistinct("subj").alias("n_subj")
+    )
+
+
+def symmetric_edges(triples: DataFrame) -> DataFrame:
+    """Undirected (src, dst) edge set of the subj—obj graph.
+
+    union + distinct = one shuffle; the UNION branch order is irrelevant
+    after distinct, matching SQL ``UNION`` semantics exactly.
+    """
+    e = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """(node, rank) after ``iters`` fixed power iterations.
+
+    Input must be a *symmetrized* distinct edge set (symmetric_edges):
+    every node then has out-degree >= 1, so there is no dangling-mass
+    term and the update is exactly
+
+        rank'(v) = (1-d)/N + d * sum_{u->v} rank(u) / outdeg(u)
+
+    Fixed iteration count (not convergence detection) keeps the result a
+    pure function of the input — the property the DuckDB oracle needs —
+    and avoids the driver-blocking convergence checksums that cap the CC
+    fixpoint's scaling (kg.connected_components discussion).
+
+    Plan shape per iteration: one co-partitioned join (edge⋈rank, both
+    hash-partitioned on src) + one groupBy(dst) shuffle. Lineage is cut
+    each iteration with a lazy localCheckpoint so the plan stays O(1)
+    deep instead of O(iters).
+    """
+    e = _materialize(
+        edges.select("src", "dst").repartition("src"), eager=False
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg): built once, reused every iteration
+    ed = _materialize(e.join(deg, "src"), eager=False)
+    nodes = _materialize(
+        e.select(F.col("src").alias("id")).distinct(), eager=False
+    )
+    n = nodes.count()
+    rank = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            ed.join(rank, ed.src == rank.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("w"),
+            )
+            .groupBy("id")
+            .agg(F.sum("w").alias("c"))
+        )
+        rank = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        rank = _materialize(rank, eager=False)
+    return rank.select(F.col("id").alias("node"), "rank")
+
+
+def cooccurring_pairs(
+    triples: DataFrame, max_per_subj: int = 20
+) -> DataFrame:
+    """(obj_a, obj_b, n_subj): entity pairs appearing on a common page.
+
+    The relation-discovery primitive (distant supervision / co-mention
+    graphs). The cap keeps a hub page from emitting a quadratic pair
+    set: only the ``max_per_subj`` lexicographically-smallest objects
+    per page pair up — deterministic (objects are distinct per subj, so
+    the ordering is total), and the self-join runs co-partitioned on
+    subj with at most K(K-1)/2 output pairs per page.
+    """
+    objs = triples.select("subj", "obj").distinct()
+    w = Window.partitionBy("subj").orderBy("obj")
+    capped = (
+        objs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_per_subj)
+        .select("subj", "obj")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.subj") == F.col("b.subj"),
+                F.col("a.obj") < F.col("b.obj"),
+            ],
+        )
+        .select(
+            F.col("a.obj").alias("obj_a"), F.col("b.obj").alias("obj_b")
+        )
+        .groupBy("obj_a", "obj_b")
+        .agg(F.count(F.lit(1)).alias("n_subj"))
+    )

@@ -1,0 +1,193 @@
+"""Graph analytics (degrees / PageRank / co-occurrence) + as-of join.
+
+PageRank ground truth is an independent dense NumPy power iteration;
+as-of ground truth is a brute-force per-row argmax — both deliberately
+different formulations from the Spark plans they check (and from the
+DuckDB oracles in __spark_entry__.py).
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ner_backend_spark.spark.asof import asof_join
+from ner_backend_spark.spark.graph import (
+    cooccurring_pairs,
+    degrees,
+    pagerank,
+    symmetric_edges,
+)
+
+TRIPLES = [
+    # two pages sharing entity B; page3 isolated with its own entity
+    ("page1", "HAS_X", "A"),
+    ("page1", "HAS_X", "B"),
+    ("page2", "HAS_X", "B"),
+    ("page2", "HAS_Y", "C"),
+    ("page3", "HAS_X", "D"),
+    ("page3", "HAS_X", "D"),  # duplicate triple: must not double-count
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def test_degrees(triples):
+    got = {
+        (r.pred, r.obj): r.n_subj for r in degrees(triples).collect()
+    }
+    assert got == {
+        ("HAS_X", "A"): 1,
+        ("HAS_X", "B"): 2,
+        ("HAS_Y", "C"): 1,
+        ("HAS_X", "D"): 1,
+    }
+
+
+def _numpy_pagerank(edges, iters=3, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for s, t in edges:
+        adj[idx[s], idx[t]] = 1.0
+        adj[idx[t], idx[s]] = 1.0
+    outdeg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = adj.T @ (r / outdeg)
+        r = (1 - d) / n + d * contrib
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_dense_numpy(triples):
+    sym = symmetric_edges(triples)
+    got = {r.node: r.rank for r in pagerank(sym, iters=3).collect()}
+    want = _numpy_pagerank([(s, o) for s, _, o in TRIPLES])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # probability mass is conserved (no dangling nodes after symmetrize)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # B is referenced by two pages -> strictly more important than A
+    assert got["B"] > got["A"]
+
+
+def test_cooccurrence_counts_and_cap(spark, triples):
+    got = {
+        (r.obj_a, r.obj_b): r.n_subj
+        for r in cooccurring_pairs(triples).collect()
+    }
+    # page1: {A,B}; page2: {B,C}; page3: {D} alone
+    assert got == {("A", "B"): 1, ("B", "C"): 1}
+
+    # hub page with 30 objects, cap 5 -> exactly C(5,2)=10 pairs from the
+    # 5 lexicographically smallest objects
+    hub = spark.createDataFrame(
+        [("hub", "HAS", f"e{i:02d}") for i in range(30)],
+        "subj string, pred string, obj string",
+    )
+    pairs = cooccurring_pairs(hub, max_per_subj=5).collect()
+    assert len(pairs) == 10
+    objs = {o for r in pairs for o in (r.obj_a, r.obj_b)}
+    assert objs == {f"e{i:02d}" for i in range(5)}
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_inclusive_strict_and_missing(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(5)), (3, "u2", _ts(1)),
+         (4, "u3", _ts(30))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(5), 50.0), ("u1", _ts(8), 80.0), ("u2", _ts(2), 20.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    inc = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    # event2 at t=5 matches the equal-ts right row (inclusive)
+    assert inc == {1: 80.0, 2: 50.0, 3: None, 4: None}
+
+    strict = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            inclusive=False,
+        ).collect()
+    }
+    # event2's equal-ts right row is now excluded -> no earlier row exists
+    assert strict == {1: 80.0, 2: None, 3: None, 4: None}
+
+
+def test_asof_join_matches_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    left_rows = [
+        (i, f"u{rng.randint(5)}", _ts(int(rng.randint(60))))
+        for i in range(200)
+    ]
+    right_rows = [
+        (f"u{rng.randint(5)}", _ts(int(rng.randint(60))), float(i))
+        for i in range(100)
+    ]
+    # dedup right per (key, ts): keep max v, the documented precondition
+    best = {}
+    for k, t, v in right_rows:
+        best[(k, t)] = max(v, best.get((k, t), v))
+    right_rows = [(k, t, v) for (k, t), v in sorted(best.items())]
+
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id string, ts timestamp, v double"
+    )
+    got = {
+        r.event_id: r.v
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    for eid, k, t in left_rows:
+        cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, k, t)
+
+
+def test_asof_join_collision_raises(spark):
+    df = spark.createDataFrame(
+        [("u1", _ts(1), 1.0)], "user_id string, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, on="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The union-trick plan must contain exactly ONE exchange (the window
+    partitioning) and NO join operator — the structural property that
+    makes it linear per key at 100 TB."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(1))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(1), 1.0)], "user_id string, ts timestamp, v double"
+    )
+    plan = (
+        asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
