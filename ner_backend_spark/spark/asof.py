@@ -1,4 +1,4 @@
-"""As-of (temporal) join — the operator Spark's DataFrame API lacks.
+"""As-of and range (interval) joins — operators Spark's API lacks.
 
 For each left row, attach the right row with the greatest right
 timestamp <= (or <, with ``inclusive=False``) the left timestamp within
@@ -75,4 +75,66 @@ def asof_join(
         merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return merged.filter(F.col("_asof_side") == 1).select(
         *left.columns, *value_cols
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 900,
+) -> DataFrame:
+    """Join point rows to interval rows with
+    ``start_ts <= point_ts < end_ts`` within the same ``on`` key —
+    the interval/range join (events inside maintenance windows, reads
+    inside transactions, spans inside sessions).
+
+    Naively this is a non-equi join: Spark plans key-equality +
+    inequality as a *shuffled* join that still compares every point
+    against every interval of its key — O(|P| * |I|) per key, the hot-
+    key quadratic the 100 TB design rules out. The standard fix (used
+    by every warehouse range-join implementation, e.g. Databricks'
+    range-join hints) is **binning**: quantize time into fixed bins,
+    explode each interval into the bins it overlaps, and equi-join on
+    (key, bin) before applying the exact range predicate. Per-key cost
+    becomes O(|P| + |I| * bins_per_interval + matches): one hash
+    shuffle, no quadratic comparisons, and Catalyst plans it as an
+    ordinary hash join (broadcast when the exploded interval side is
+    small).
+
+    A point lies in exactly one bin, so a (point, interval) pair can
+    match at most once — no post-join dedup is needed.
+
+    ``bin_seconds`` should be on the order of the typical interval
+    length: too coarse puts many intervals in a bin (back toward
+    quadratic), too fine explodes the interval side.
+    """
+    # integer-microsecond bin math (timestamps may be NTZ, which cannot
+    # cast to double; and float division would mis-bin near boundaries)
+    bin_us = bin_seconds * 1_000_000
+
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p_bin = F.floor(_us(point_ts) / F.lit(bin_us)).cast("bigint")
+    start_bin = F.floor(_us(start_ts) / F.lit(bin_us)).cast("bigint")
+    # end is exclusive: the last overlapped bin holds end - 1 microsecond
+    end_bin = F.floor((_us(end_ts) - 1) / F.lit(bin_us)).cast("bigint")
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(start_bin, F.greatest(start_bin, end_bin))),
+    )
+    pt = points.withColumn("_bin", p_bin)
+    cond = (
+        (pt[on] == iv[on])
+        & (pt["_bin"] == iv["_bin"])
+        & (pt[point_ts] >= iv[start_ts])
+        & (pt[point_ts] < iv[end_ts])
+    )
+    return pt.join(iv, cond).select(
+        *[pt[c] for c in points.columns],
+        *[iv[c] for c in intervals.columns if c not in (on,)],
     )

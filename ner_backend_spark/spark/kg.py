@@ -354,7 +354,7 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, steps_per_round: int = 2
+    edges: DataFrame, max_iter: int = 25, steps_per_round: int = 1
 ) -> DataFrame:
     """(id, component): component = min node id in the component.
 
@@ -377,13 +377,17 @@ def connected_components(
     reliable = (
         edges.sparkSession.sparkContext.getCheckpointDir() is not None
     )
-    # TWO star alternations per materialize+checksum: the driver-blocking
-    # checksum job is the per-round fixed cost that caps e2e scaling
-    # efficiency (SCALING_m10 0.521 — round-4 diagnosis: fixed latency,
-    # not data volume), and the alternating algorithm is idempotent at the
-    # fixpoint, so checksum equality across a double step still detects
-    # convergence exactly. Halves the number of driver round-trips for the
-    # same shuffle count (round-4 "Next round" #3).
+    # steps_per_round: star alternations per materialize+checksum. The
+    # round-4 hypothesis was that 2 steps/round would halve the driver-
+    # blocking fixed cost per round; the round-5 A/B on the m10 8.65M-edge
+    # graph (tools/cc_ab_m10.py, warm runs) REFUTED it: steps=1 beats
+    # steps=2 at both 4 cores (18.5 s vs 22.4 s) and 16 cores (14.5 s vs
+    # 16.2 s) — the checksum job is cheap next to the extra scheduling of
+    # the longer fused plan, and convergence at rounds=4 means steps=2
+    # wastes half an alternation's shuffles in the final confirm round
+    # (6 rounds executed vs 4). Default is therefore 1; the alternating
+    # algorithm is idempotent at the fixpoint, so any steps_per_round
+    # still detects convergence exactly.
     global LAST_CC_ROUNDS
     prev_sum = None
     rounds = 0
@@ -391,6 +395,21 @@ def connected_components(
         nxt = cur
         for _s in range(steps_per_round):
             nxt = _small_star(_large_star(nxt))
+            # leaf-ify BETWEEN the chained alternations (lazy — no job of
+            # its own; the round's checksum job computes and caches it).
+            # Without this cut the second alternation's plan embeds the
+            # first's subplan at every self-reference (_small_star reads
+            # its input 3x, _large_star 2x) and the round re-executes
+            # those shuffles instead of reusing them — measured 2.4x KG
+            # wall blowup at m10 (282 s vs 116 s @4 cores) when the
+            # double-step first shipped without the cut. In reliable-
+            # checkpoint deployments the cut narrows fault tolerance for
+            # the intra-round window only: an executor loss mid-round
+            # fails that job and the stage-checkpoint layer re-runs from
+            # the last durable round — the round boundary itself stays on
+            # the reliable eager path below.
+            if _s < steps_per_round - 1:
+                nxt = nxt.localCheckpoint(eager=False)
         rounds += steps_per_round
         if reliable:
             cur = _materialize(nxt)

@@ -1,0 +1,101 @@
+"""Exact distributed quantiles via rank interpolation.
+
+Spark's built-in exact ``percentile`` aggregate buffers every value of
+a group in executor memory (OpenHashMap per group) — fine for a gate
+run, fatal for a 100 TB group. ``approx_percentile`` (KLL-ish) is the
+usual answer but is not reproducible cross-engine. This module gives a
+third shape: the textbook *rank interpolation* (the SQL-standard
+``percentile_cont`` definition, k = (n-1)*p) computed with a window
+sort + a broadcast join — per-group memory is O(1), the only wide
+exchange is the sort by (group, value), and any number of probability
+points share that single sort.
+
+Plan shape:
+  1. rn    = row_number over (partition group order by value)  [1 sort]
+  2. n     = count per group (tiny aggregate)
+  3. tgt   = n x probability points: lo/hi ranks + frac  [broadcast]
+  4. semi-size join rn IN (lo, hi) against the BROADCAST target table
+     -> at most 2 rows per (group, p) survive
+  5. q = lo_val + frac * (hi_val - lo_val), the exact
+     ``percentile_cont`` value (DuckDB ``quantile_cont`` is the oracle)
+
+At 100 TB the sort in (1) is the cost — identical to what any exact
+quantile needs — and everything downstream is O(groups * |ps|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    out_digits: int = 6,
+) -> DataFrame:
+    """(group_col, p, q): exact interpolated quantile per group.
+
+    ``q`` is rounded to ``out_digits`` decimals — the interpolation is
+    the same real-valued formula as percentile_cont/quantile_cont, but
+    engines differ in the last ulp of ``lo + frac*(hi-lo)`` vs
+    ``(1-frac)*lo + frac*hi``, so gate outputs are rounded.
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(group_col, value_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    counts = df.groupBy(group_col).agg(F.count(value_col).alias("_n"))
+    pdim = F.explode(
+        F.array(*[F.lit(float(p)) for p in ps])
+    ).alias("p")
+    # k = (n-1)*p as an exact expression; lo/hi ranks are 1-based
+    targets = counts.select(group_col, "_n", pdim).select(
+        group_col,
+        "p",
+        (F.col("_n").cast("double") - 1.0) * F.col("p").cast("double"),
+    ).toDF(group_col, "p", "_k").select(
+        group_col,
+        "p",
+        (F.floor("_k") + 1).cast("int").alias("_lo_rn"),
+        (F.ceil("_k") + 1).cast("int").alias("_hi_rn"),
+        (F.col("_k") - F.floor("_k").cast("double")).alias("_frac"),
+    )
+    tgt = F.broadcast(targets).alias("t")
+    r = ranked.alias("r")
+    joined = r.join(
+        tgt,
+        (F.col(f"r.{group_col}") == F.col(f"t.{group_col}"))
+        & (
+            (F.col("r._rn") == F.col("t._lo_rn"))
+            | (F.col("r._rn") == F.col("t._hi_rn"))
+        ),
+    )
+    per_p = joined.groupBy(F.col(f"t.{group_col}"), "t.p").agg(
+        F.max(
+            F.when(
+                F.col("r._rn") == F.col("t._lo_rn"), F.col(f"r.{value_col}")
+            )
+        ).alias("_lo"),
+        F.max(
+            F.when(
+                F.col("r._rn") == F.col("t._hi_rn"), F.col(f"r.{value_col}")
+            )
+        ).alias("_hi"),
+        F.first("t._frac").alias("_frac"),
+    )
+    # at an integral rank (p=1.0, or k hitting a row exactly) the hi row
+    # is unused — and for p=1.0 rank n+1 doesn't even exist, so the
+    # interpolation term must not be evaluated (null would propagate)
+    q = F.when(F.col("_frac") == 0.0, F.col("_lo")).otherwise(
+        F.col("_lo") + F.col("_frac") * (F.col("_hi") - F.col("_lo"))
+    )
+    return per_p.select(
+        group_col,
+        "p",
+        F.round(q, out_digits).alias("q"),
+    )

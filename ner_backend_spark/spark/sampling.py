@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _DENOM = 1_000_000
@@ -81,6 +81,50 @@ def split(
     if lo > _DENOM:
         raise ValueError("split weights exceed 1.0")
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    stratum: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: top-k rows per
+    stratum by *priority* (Duffield-Lund-Thorup priority sampling /
+    A-ES family): priority = weight / u, with u a deterministic uniform
+    from the row key. Rows with weight w are included with probability
+    proportional to w (for k << n), membership is a pure function of
+    the key (stable across partitionings and resumes), and the plan is
+    one window sort — no per-group state, no rejection loop.
+
+    Determinism across engines: u = (md5_52(key) + 1) / 2^52 and the
+    priority division are single IEEE-754 ops on exactly-representable
+    integers, so any engine computes the bit-identical priority; ties
+    are broken by key.
+
+    At scale the ``row_number() <= k`` shape matters: Spark's
+    WindowGroupLimit rewrite (3.5+) pushes the limit below the
+    exchange, so each map task ships only its local top-k per stratum —
+    the shuffle carries O(tasks * k), not the corpus.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    priority = (
+        F.col(weight_col).cast("double")
+        * F.lit(float(1 << 52))
+        / (h + F.lit(1)).cast("double")
+    )
+    part = [stratum] if stratum else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        priority.desc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_ws_rn", F.row_number().over(w))
+        .filter(F.col("_ws_rn") <= k)
+        .drop("_ws_rn")
+    )
 
 
 def compact(

@@ -191,3 +191,42 @@ def test_asof_single_shuffle_plan(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+
+    from ner_backend_spark.spark.graph import triangle_count
+
+    # hub node h connected to 10 nodes (star: no triangles) + a clique
+    # of 5 (C(5,3)=10 triangles) + one triangle through the hub
+    edges = [("h", f"s{i}") for i in range(10)]
+    edges += [
+        (f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)
+    ]
+    edges += [("h", "t1"), ("h", "t2"), ("t1", "t2")]
+    # noise: duplicates, reversed copies, self-loop
+    edges += [("c1", "c0"), ("h", "s0"), ("x", "x")]
+    adj = set()
+    for a, b in edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+    nodes = sorted({n for e in adj for n in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (a, c) in adj and (b, c) in adj
+    )
+    assert want == 11
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == want
+
+
+def test_triangle_count_empty_and_acyclic(spark):
+    from ner_backend_spark.spark.graph import triangle_count
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
