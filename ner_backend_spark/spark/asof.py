@@ -18,7 +18,9 @@ semantics natively.
 
 Right-side rows must be unique per (key, ts) for the result to be
 well-defined; callers aggregate first (the gate query takes
-max(value) per (user_id, ts)).
+max(value) per (user_id, ts)). Right rows whose value columns are all
+NULL still count as matches (they travel inside a non-null struct), so
+the semantics agree with DuckDB ASOF JOIN even for NULL payloads.
 """
 
 from __future__ import annotations
@@ -54,11 +56,18 @@ def asof_join(
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
     )
+    # value columns ride in a STRUCT, not bare: the struct itself is
+    # never null for a right row even when every field is null, so the
+    # running last(ignorenulls=True) below distinguishes "a right row
+    # exists with a NULL value" (match it, return NULL — what DuckDB
+    # ASOF JOIN does) from "no right row yet" (carry nothing). Bare
+    # columns would conflate the two and carry a stale earlier match
+    # over a legitimately-NULL later one.
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        *value_cols,
+        F.struct(*value_cols).alias("_asof_payload"),
     )
     # at equal ts: side 0 (right) sorts first when inclusive, so the
     # running last() has already absorbed it when the left row is read;
@@ -71,10 +80,12 @@ def asof_join(
         .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    merged = merged.withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
     return merged.filter(F.col("_asof_side") == 1).select(
-        *left.columns, *value_cols
+        *left.columns,
+        *[F.col(f"_asof_payload.{c}").alias(c) for c in value_cols],
     )
 
 

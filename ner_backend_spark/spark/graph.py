@@ -91,6 +91,12 @@ def pagerank(
         e.select(F.col("src").alias("id")).distinct(), eager=False
     )
     n = nodes.count()
+    if n == 0:
+        # empty (or fully filtered) edge set: no nodes, no 1/n — return
+        # the empty frame with the output schema instead of raising
+        return nodes.select(
+            F.col("id").alias("node"), F.lit(0.0).alias("rank")
+        )
     rank = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contrib = (

@@ -45,6 +45,11 @@ def group_quantiles(
     """
     if not ps:
         raise ValueError("ps must be non-empty")
+    # percentile_cont ignores NULLs; without this filter row_number()
+    # would rank null rows (Spark sorts nulls first ascending) while
+    # count(value_col) excludes them, desynchronizing the rank math and
+    # diverging from the DuckDB quantile_cont oracle.
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
     ranked = df.select(group_col, value_col).withColumn(
         "_rn", F.row_number().over(w)

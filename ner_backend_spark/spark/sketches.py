@@ -67,13 +67,20 @@ def hll_registers(
     """Per-group HLL register table: group_cols + (bucket, reg).
 
     ``p`` is the bucket-index bit width and must be a multiple of 4
-    (bucket = first p/4 md5 hex chars) with 4 <= p <= 16. The result is
-    the mergeable sketch state: union two corpora's register tables and
+    (bucket = first p/4 md5 hex chars) with 4 <= p <= 8. The upper
+    bound is a hard int64-safety limit, not a style choice: the
+    estimate's ``reg_sum`` packs up to (m-1)*2^53 + 2^52 into an exact
+    int64, which overflows for p >= 12 (3.7e19 at p=12 vs int64 max
+    9.2e18) — and overflow is *silent* wraparound in non-ANSI Spark
+    while DuckDB's HUGEINT->BIGINT cast raises, so the two engines
+    would diverge. p=8 (256 registers, ~6.5% rel. error) is plenty for
+    a per-group sketch. The result is the mergeable sketch state:
+    union two corpora's register tables and
     ``groupBy(group, bucket).agg(max(reg))`` to get the union sketch —
     exactly what ``hll_merge`` does.
     """
-    if p % 4 or not 4 <= p <= 16:
-        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    if p % 4 or not 4 <= p <= 8:
+        raise ValueError(f"p must be a multiple of 4 in [4, 8], got {p}")
     hex_chars = p // 4
     h = F.md5(F.col(value_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, hex_chars), 16, 10).cast("int")
@@ -108,7 +115,11 @@ def hll_estimate(
     (empty registers contribute 2^53 each), so it hash-gates the entire
     sketch state in one integer; ``est`` is the HLL estimate with the
     small-range linear-counting correction, rounded to 3 decimals.
+    p <= 8 keeps reg_sum <= m * 2^53 = 2.3e18 < int64 max (see
+    ``hll_registers`` for the overflow/divergence story at p >= 12).
     """
+    if p % 4 or not 4 <= p <= 8:
+        raise ValueError(f"p must be a multiple of 4 in [4, 8], got {p}")
     m = 1 << p
     alpha = _alpha(m)
     per_group = registers.groupBy(*group_cols).agg(
