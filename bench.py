@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "q_audio_features",
     "q_curation_pipeline",
     "q_asof_events",
+    # round 6: sketches/quantiles/range-join surfaced so perf regressions
+    # in them are driver-visible (sub-second each), plus the two new
+    # round-6 operators
+    "q_hll_distinct",
+    "q_percentiles",
+    "q_range_join",
+    "q_bloom_decontaminate",
+    "q_semantic_dedup",
 ]
 
 

@@ -51,6 +51,17 @@ SIMHASH = dict(max_hamming=3, max_bucket_size=1024)
 LSH_ANN = dict(dim=64, k=5, tables=4, n_planes=8, probe_hamming=1)
 IVF_ANN = dict(dim=64, k=5, n_centroids=16, nprobe=4, kmeans_iters=5, sample_size=4096)
 NEARDUP_LSH = dict(threshold=0.3, dim=64, n_planes=6, tables=8)
+# SemDeDup (similarity.semantic_dedup): cluster-then-prune semantic dedup.
+# threshold matches the NEARDUP_LSH near-dup operating point; the pure-
+# Python oracle replicates centroid training + fold-order cosine exactly.
+SEMANTIC_DEDUP = dict(
+    dim=64, n_centroids=16, threshold=0.3, kmeans_iters=5,
+    max_cluster_size=4096,
+)
+# Bloom-filter decontamination (dedup.bloom_decontaminate): the membership-
+# sketch variant of q_decontaminate. The inline DuckDB oracle mirrors the
+# md5 bit math 1:1, so false positives are deterministic and identical.
+BLOOM_DECON = dict(n=8, k=4, m_bits=65536, max_grams_per_doc=2000)
 MULTIMODAL_DIM = 16
 WINNOW = dict(k=5, window=4)
 WINNOW_NEARDUP = dict(min_shared=5, max_postings=64)

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "15"
+ORACLE_VERSION = "16"
 
 _S = pa.string()
 _L = pa.int64()
@@ -142,6 +142,10 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_kmeans_assign": (
         "oracle_kmeans_assign",
         pa.schema([("id", _L), ("centroid_id", _L)]),
+    ),
+    "q_semantic_dedup": (
+        "oracle_semantic_dedup",
+        pa.schema([("id", _L), ("cid", _L), ("is_dup", pa.bool_())]),
     ),
     "q_task_rollup": (
         "oracle_task_rollup",

@@ -505,6 +505,41 @@ def oracle_kmeans_assign(sf_dir: str) -> list[tuple]:
     ]
 
 
+def oracle_semantic_dedup(sf_dir: str) -> list[tuple]:
+    """(id, cid, is_dup): SemDeDup cluster-then-prune, mirroring
+    similarity.semantic_dedup — train_centroids sample + Lloyd refine,
+    GEMV argmax assignment (ties -> lowest cid), then within each cluster
+    a row is a duplicate iff a SMALLER id in the same cluster has
+    fold-order cosine >= threshold (keep-first-by-id)."""
+    p = flagship.SEMANTIC_DEDUP
+    vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
+    raw = _centroids(p["dim"], p["n_centroids"], 42)
+    sample_ids = sorted(vecs)[:4096]
+    X = np.array([vecs[i] for i in sample_ids], dtype=np.float64)
+    raw = _kmeans_refine(X, raw, p["kmeans_iters"])
+    cents_np = np.asarray(raw, dtype=np.float64)
+    assigned = {
+        vid: int((cents_np @ np.asarray(vec, dtype=np.float64)).argmax())
+        for vid, vec in vecs.items()
+    }
+    by_cid: dict[int, list[int]] = defaultdict(list)
+    for vid, cid in assigned.items():
+        by_cid[cid].append(vid)
+    out = []
+    for vid in sorted(vecs):
+        cid = assigned[vid]
+        members = by_cid[cid]
+        is_dup = False
+        if len(members) <= p["max_cluster_size"]:
+            is_dup = any(
+                other < vid
+                and _cosine_py(vecs[other], vecs[vid]) >= p["threshold"]
+                for other in members
+            )
+        out.append((vid, cid, is_dup))
+    return out
+
+
 def oracle_embedding_neardup_lsh(sf_dir: str) -> list[tuple]:
     p = flagship.NEARDUP_LSH
     vecs = {int(i): v for i, v in load_embeddings(sf_dir)}

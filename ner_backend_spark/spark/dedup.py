@@ -147,6 +147,82 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    max_grams_per_doc: int = 2000,
+    k: int = 4,
+    m_bits: int = 65536,
+) -> DataFrame:
+    """(id, n_flagged_grams, flagged): Bloom-filter decontamination — the
+    membership-sketch variant of :func:`decontaminate`.
+
+    Scale story: :func:`decontaminate` broadcasts the benchmark's EXACT
+    distinct gram set, which is fine for eval sets but stops working when
+    the "benchmark" is itself huge (a whole held-out suite, a blocklist
+    corpus). A Bloom filter caps the broadcast state at ``m_bits`` bits
+    regardless of benchmark size — here represented relationally as the
+    distinct set-bit table (:func:`~ner_backend_spark.spark.sketches.
+    bloom_bits`), built with ONE map-side-combined groupBy whose shuffle
+    carries at most ``m_bits`` rows. The corpus probes the filter through
+    its DISTINCT gram vocabulary (map-side-combined, so the shuffle
+    carries per-partition-distinct grams, not occurrences); per-document
+    occurrence counts then come from a broadcast join of the flagged
+    vocabulary back onto the corpus — occurrences never shuffle. No
+    false negatives (every
+    truly contaminated gram is flagged); false positives are bounded and
+    — because the hash math is integer md5 mirrored 1:1 in the oracle —
+    deterministic and identical across engines.
+    """
+    from .sketches import bloom_bits, bloom_contains
+    from .textstats import word_ngrams, words_expr
+
+    bench_text_col = bench_text_col or text_col
+
+    def grams_of(text_col_name: str):
+        return word_ngrams(words_expr(F.col(text_col_name)), n)
+
+    bench_grams = benchmark.select(
+        F.explode(
+            F.slice(grams_of(bench_text_col), 1, max_grams_per_doc)
+        ).alias("gram")
+    )
+    bits = bloom_bits(bench_grams, "gram", k=k, m_bits=m_bits)
+    doc_grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(
+            F.slice(grams_of(text_col), 1, max_grams_per_doc)
+        ).alias("gram"),
+    )
+    # distinct grams probe the filter once; per-doc occurrences of a gram
+    # are counted doc-side so the probe fan-in stays O(distinct grams)
+    probed = bloom_contains(
+        bits,
+        doc_grams.select("gram").where(F.col("gram").isNotNull()).distinct(),
+        "gram",
+        k=k,
+        m_bits=m_bits,
+    ).where(F.col("maybe_present"))
+    counts = (
+        doc_grams.join(
+            F.broadcast(probed.select("gram", F.lit(1).alias("_hit"))),
+            "gram",
+            "left",
+        )
+        .groupBy("_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+    )
+    return counts.select(
+        F.col("_id").alias(id_col),
+        F.col("n_hits").cast("long").alias("n_flagged_grams"),
+        (F.col("n_hits") > 0).alias("flagged"),
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str,

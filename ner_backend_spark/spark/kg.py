@@ -120,7 +120,10 @@ def alias_candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
 
 
 def band_signatures(
-    mentions: DataFrame, num_hashes: int = 15, bands: int = 5
+    mentions: DataFrame,
+    num_hashes: int = 15,
+    bands: int = 5,
+    carry_trigrams: bool = False,
 ) -> DataFrame:
     """(mention_id, label, band, band_hash): the LSH banding of each mention.
 
@@ -129,11 +132,19 @@ def band_signatures(
     depends only on its own surface, which is what makes the banding table
     APPEND-ONLY under incremental construction (streaming/kg_update.py):
     new mentions' bands join against stored bands without recomputing them.
+
+    ``carry_trigrams=True`` keeps the trigram array on each banded row so
+    the bucket self-join can score pairs INLINE (fused path, see
+    :func:`lsh_candidate_pairs` ``score_threshold``) — heavier banding
+    shuffle rows in exchange for never shuffling the candidate-pair set
+    through id-joins.
     """
     rows_per_band = num_hashes // bands
+    extra = ["trigrams"] if carry_trigrams else []
     sig = with_trigrams(mentions).select(
         "mention_id",
         "label",
+        *extra,
         F.array(
             *[
                 F.array_min(
@@ -148,6 +159,7 @@ def band_signatures(
     return sig.select(
         "mention_id",
         "label",
+        *extra,
         F.posexplode(
             F.array(
                 *[
@@ -169,6 +181,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int | None = None,
     chunk_threshold: int = 256,
     chunk_groups: int = 32,
+    score_threshold: float | None = None,
 ) -> DataFrame:
     """(id_a, id_b) mention pairs sharing >=1 MinHash band bucket.
 
@@ -198,8 +211,34 @@ def lsh_candidate_pairs(
     it are dropped entirely — at web scale million-member buckets are
     template strings, not linkable entities, and even chunked enumeration
     of 10^12 pairs is work that should not happen.
+
+    ``score_threshold`` (the FUSED path, default off): carry each banded
+    row's trigram array through the banding shuffle and score the exact
+    trigram Jaccard INLINE in the bucket self-join, returning only pairs
+    with score >= threshold. Same final pair set as
+    ``score_links(lsh_candidate_pairs(...), mentions, t)`` — Jaccard is a
+    pure function of the pair, so scoring per bucket collision before the
+    distinct() equals scoring once after it — but the plan drops THREE
+    pair-set-sized shuffles (the candidate distinct now carries only
+    PASSING pairs, and the two id-joins that fetched trigram arrays
+    vanish), at the cost of trigram arrays riding the banding shuffle
+    (bands x ~100 B per mention). Measured on the m10 8.65M-edge graph:
+    the dominant pair stage was 30M candidate rows through
+    distinct + 2 joins; fused, the only wide ops are the banding shuffle
+    and an 8.65M-row distinct.
     """
-    banded = band_signatures(mentions, num_hashes, bands)
+    # the banding map (trigrams + num_hashes hash passes per mention) is the
+    # CPU-heaviest narrow stage of the KG tail; the mentions frame arrives
+    # AQE-coalesced to a handful of partitions (it's small in BYTES), which
+    # caps this stage's parallelism — measured 12 tasks on 16 cores, 156 s
+    # of the 33 s edges wall (round-6 edges_probe). Fan it out first; on a
+    # 100 TB input the scan provides the width and this is a no-op.
+    from .session import ensure_parallelism
+
+    banded = band_signatures(
+        ensure_parallelism(mentions), num_hashes, bands,
+        carry_trigrams=score_threshold is not None,
+    )
     # bucket granularity must match the join key: with same_label_only the
     # self-join groups on (band, band_hash, label), so occupancy is counted
     # per label too — otherwise a mixed-label bucket could be dropped even
@@ -223,12 +262,21 @@ def lsh_candidate_pairs(
         (F.col("l.band_hash") == F.col("r.band_hash")),
     ]
 
+    def _jaccard_ok(left_tri, right_tri):
+        # exact trigram Jaccard, the identical expression score_links uses
+        return (
+            F.size(F.array_intersect(left_tri, right_tri))
+            / F.size(F.array_union(left_tri, right_tri))
+        ) >= F.lit(float(score_threshold))
+
     # cheap path: whole bucket in one join group
     small = banded.filter(F.col("_bucket_size") <= chunk_threshold)
     l, r = small.alias("l"), small.alias("r")
     cond = eq[0] & eq[1] & (F.col("l.mention_id") < F.col("r.mention_id"))
     if same_label_only:
         cond = cond & (F.col("l.label") == F.col("r.label"))
+    if score_threshold is not None:
+        cond = cond & _jaccard_ok(F.col("l.trigrams"), F.col("r.trigrams"))
     pairs_small = l.join(r, cond).select(
         F.col("l.mention_id").alias("id_a"),
         F.col("r.mention_id").alias("id_b"),
@@ -257,6 +305,8 @@ def lsh_candidate_pairs(
     )
     if same_label_only:
         bcond = bcond & (F.col("l.label") == F.col("r.label"))
+    if score_threshold is not None:
+        bcond = bcond & _jaccard_ok(F.col("l.trigrams"), F.col("r.trigrams"))
     pairs_big = bl.join(br, bcond).select(
         F.least("l.mention_id", "r.mention_id").alias("id_a"),
         F.greatest("l.mention_id", "r.mention_id").alias("id_b"),
@@ -520,12 +570,18 @@ def mention_edges(
     callers that only consume the edges (the stage-checkpointed runner
     re-derives alias hits at its canonical stage from on-disk mentions).
     """
-    pairs = lsh_candidate_pairs(
-        mentions, num_hashes, bands, max_bucket_size=max_bucket_size
-    )
-    sim_edges = score_links(pairs, mentions, threshold).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
+    # fused path: Jaccard scored inline in the bucket self-join (see
+    # lsh_candidate_pairs score_threshold) — identical edge set to
+    # score_links(lsh_candidate_pairs(...), mentions, threshold), minus
+    # three candidate-pair-sized shuffles (round-6 edges_probe: the
+    # distinct + two trigram id-joins were the non-scaling 42 s stage)
+    sim_edges = lsh_candidate_pairs(
+        mentions,
+        num_hashes,
+        bands,
+        max_bucket_size=max_bucket_size,
+        score_threshold=threshold,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     if alias_df is None:
         return sim_edges, None
     # materialized: hits is consumed by the alias edges AND (lazily, in the

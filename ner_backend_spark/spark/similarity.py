@@ -486,3 +486,100 @@ def ivf_assignments(
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     return ensure_parallelism(out).mapInPandas(run, schema)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    max_cluster_size: int = 4096,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """(id, cid, is_dup): SemDeDup-style semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication") — cluster-then-prune, the shape that avoids
+    global ANN over the corpus.
+
+    Semantics (deterministic, oracle-mirrored): embeddings are assigned
+    to their nearest k-means centroid (ties to the LOWEST centroid id,
+    as :func:`ivf_assignments`); within each cluster a row is a
+    duplicate iff some SMALLER-id row of the same cluster has cosine >=
+    ``threshold`` with it (keep-first-by-id — the deterministic stand-in
+    for the paper's keep-lowest-centroid-distance rule, chosen so a
+    DuckDB/pure-Python oracle reproduces it exactly without float
+    argmin ties).
+
+    Scale shape: pair generation happens ONLY inside a cluster — the
+    self-join key is the centroid id, so the shuffle moves each row
+    k=1 time and no cross-corpus pair set ever materializes. In the
+    paper's regime n_centroids scales with the corpus (they use 50k
+    clusters for LAION), keeping clusters small; as a structural
+    backstop, clusters larger than ``max_cluster_size`` are exempted
+    from pruning via a broadcast anti-join on the (tiny) over-cap cid
+    list — the same semantic-cap pattern as the MinHash/KG bucket caps
+    (`spark/dedup.py` minhash `max_bucket_size`, `spark/kg.py`
+    KG_MAX_BUCKET), so worst-case within-cluster pair work is bounded
+    by max_cluster_size**2 per cluster regardless of data skew.
+    """
+    cents = (
+        train_centroids(
+            embeddings,
+            dim,
+            n_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            kmeans_iters=kmeans_iters,
+        )
+        if centroids is None
+        else np.asarray(centroids, dtype=np.float64)
+    )
+    assign = ivf_assignments(
+        embeddings, dim, n_centroids, id_col, vec_col, seed, centroids=cents
+    ).select(F.col("id"), F.col("centroid_id").alias("cid"))
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).join(assign, "id")
+
+    sizes = vecs.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    over_cap = sizes.filter(F.col("_n") > max_cluster_size).select("cid")
+    prunable = vecs.join(F.broadcast(over_cap), "cid", "left_anti")
+
+    a = prunable.select(
+        "cid", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = prunable.select(
+        "cid", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    # duplicate side only: for each b, does any smaller-id a in the same
+    # cluster sit above the threshold? LEFT SEMI keeps the probe one-sided
+    # (no pair rows survive the join).
+    dup_ids = (
+        b.alias("b")
+        .join(
+            a.alias("a"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id_a") < F.col("b.id_b"))
+            & (
+                _cosine(F.col("a.vec_a"), F.col("b.vec_b"))
+                >= F.lit(float(threshold))
+            ),
+            "left_semi",
+        )
+        .select(F.col("id_b").alias("id"))
+    )
+    return (
+        vecs.select("id", "cid")
+        .join(dup_ids.withColumn("_d", F.lit(True)), "id", "left")
+        .select(
+            F.col("id"),
+            F.col("cid"),
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -257,6 +257,107 @@ GROUP BY a.key
 """
 
 
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 65536,
+) -> DataFrame:
+    """Bloom filter as a relational table: the set of SET bit positions.
+
+    Completes the mergeable-sketch family (distinct ≅ HLL, frequency ≅
+    CMS, membership ≅ Bloom). Each value sets k bit positions derived
+    from independent md5 streams (value salted with the hash index, the
+    same construction as :func:`cms_table`); the filter IS the distinct
+    (bit) table, at most ``m_bits`` rows no matter how many input rows —
+    the groupBy is map-side combinable, so the shuffle carries O(m_bits)
+    rows regardless of input size. Mergeability: the union of two
+    corpora's filters is the distinct union of their bit tables
+    (elementwise OR ≅ set union of set positions).
+
+    Integer-exact and engine-portable: bit = first-13-hex-chars of
+    md5(value#i) mod m_bits — the DuckDB oracle mirrors it 1:1, so the
+    false-positive behaviour is deterministic and identical across
+    engines (what the parity gate hashes).
+    """
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    h = F.md5(
+        F.concat_ws("#", F.col(value_col).cast("string"), F.col("i"))
+    )
+    bit = F.pmod(
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint"), F.lit(m_bits)
+    ).cast("int")
+    return (
+        df.select(F.col(value_col), idx)
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_contains(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    k: int = 4,
+    m_bits: int = 65536,
+) -> DataFrame:
+    """keys + (hits, maybe_present): membership test against the filter.
+
+    maybe_present = all k addressed bits are set (standard Bloom
+    semantics: no false negatives, bounded false positives at
+    (1-e^{-kn/m})^k). The bit table is at most ``m_bits`` rows, so it
+    BROADCASTS; the keys side never shuffles on the probe — the scale
+    shape for decontaminating a 100 TB corpus against a benchmark-suite
+    filter without shipping the corpus grams anywhere.
+    """
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    h = F.md5(F.concat_ws("#", F.col(key_col).cast("string"), F.col("i")))
+    bit = F.pmod(
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint"), F.lit(m_bits)
+    ).cast("int")
+    addressed = keys.select(F.col(key_col), idx).select(
+        key_col, bit.alias("bit")
+    )
+    marked = bits.withColumn("_set", F.lit(1))
+    joined = addressed.join(F.broadcast(marked), "bit", "left")
+    return joined.groupBy(key_col).agg(
+        F.sum(F.coalesce("_set", F.lit(0))).cast("int").alias("hits"),
+        (
+            F.sum(F.coalesce("_set", F.lit(0))) == F.lit(k)
+        ).alias("maybe_present"),
+    )
+
+
+def bloom_oracle_sql(
+    table: str,
+    value_col: str,
+    key_select: str,
+    k: int = 4,
+    m_bits: int = 65536,
+) -> str:
+    """DuckDB SQL mirroring bloom_bits + bloom_contains for ``key_select``
+    (a subquery yielding one column named ``key``)."""
+    return f"""
+WITH idx AS (SELECT unnest(range({k})) AS i),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR) || '#' || i), 1, 13))::BIGINT % {m_bits} AS bit
+  FROM {table} CROSS JOIN idx
+),
+keys AS ({key_select}),
+addressed AS (
+  SELECT kk.key,
+         ('0x' || substr(md5(CAST(kk.key AS VARCHAR) || '#' || ii.i), 1, 13))::BIGINT % {m_bits} AS bit
+  FROM keys kk CROSS JOIN idx ii
+)
+SELECT a.key,
+       CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS INT) AS hits,
+       sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = {k} AS maybe_present
+FROM addressed a LEFT JOIN bits b USING (bit)
+GROUP BY a.key
+"""
+
+
 def hll_oracle_sql(
     table: str,
     group_cols: list[str],

@@ -632,3 +632,67 @@ def test_quality_classifier(spark):
         assert out[d]["clf_keep"] == (logit > 0)
     assert out[0]["quality_prob"] > out[1]["quality_prob"]
     assert out[0]["clf_keep"] and not out[1]["clf_keep"]
+
+
+def test_bloom_decontaminate_matches_exact(spark, docs):
+    """Bloom decontamination must agree with the exact broadcast-gram
+    decontaminate wherever the filter has no false positive — and at
+    n_grams~10, m=65536, k=4 the FP probability is ~1e-14, so on this
+    fixture the outputs are identical (flagged == contaminated and the
+    per-doc gram hit counts match)."""
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    exact = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in dedup.decontaminate(
+            docs, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_flagged_grams"], r["flagged"])
+        for r in dedup.bloom_decontaminate(
+            docs, bench, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert bloom == exact
+    assert bloom[1][1]  # exact dup of benchmark doc is flagged
+    assert not bloom[3][1]
+
+
+def test_semantic_dedup_matches_bruteforce(spark, vectors):
+    """semantic_dedup marks exactly the rows for which a SMALLER id in
+    the SAME cluster has cosine >= threshold (keep-first-by-id)."""
+    df, base = vectors
+    planted = np.vstack([base, base[:3] * 1.7 + 1e-9])  # 3 scaled near-dups
+    rows = [(i, [float(x) for x in planted[i]]) for i in range(len(planted))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.semantic_dedup(
+        emb, dim=16, n_centroids=4, threshold=0.95, kmeans_iters=3
+    )
+    got = {r["id"]: (r["cid"], r["is_dup"]) for r in out.collect()}
+    assert len(got) == len(planted)
+
+    def cos(u, v):
+        return float(np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    for i in range(len(planted)):
+        cid = got[i][0]
+        expect = any(
+            got[j][0] == cid and cos(planted[j], planted[i]) >= 0.95
+            for j in range(i)
+        )
+        assert got[i][1] == expect, i
+    # the scaled copies land in their originals' clusters -> duplicates
+    n_dups = sum(1 for _, d in got.values() if d)
+    assert n_dups >= 3
+
+
+def test_semantic_dedup_over_cap_clusters_exempted(spark, vectors):
+    """Clusters above max_cluster_size are exempted from pruning (the
+    structural bound on within-cluster pair work): with a cap of 1 no
+    cluster is prunable, so nothing is marked duplicate."""
+    df, base = vectors
+    out = similarity.semantic_dedup(
+        df, dim=16, n_centroids=4, threshold=0.5, kmeans_iters=2,
+        max_cluster_size=1,
+    )
+    assert not any(r["is_dup"] for r in out.collect())

@@ -190,3 +190,51 @@ def test_attach_refuses_foreign_checkpoint(spark, tmp_path, alias_df):
     q.awaitTermination(120)
     with pytest.raises(ValueError, match="bound to stream checkpoint"):
         inc.attach(stream, str(tmp_path / "ckpt_b"))
+
+
+def test_incremental_graph_analytics_equal_batch(spark, tmp_path, alias_df):
+    """Consumption analytics over the incrementally-maintained KG equal
+    the batch rebuild AT EVERY PREFIX of the stream (verdict r5 #8):
+    after each micro-batch, degrees and 3-iteration PageRank computed
+    over triples_from_canonical(prefix_entities, inc.canonical()) match
+    the same analytics over the one-shot batch pipeline on the prefix —
+    including across the batch-1 cluster merge, where canonical objects
+    of batch-0 triples CHANGE (the case plain degree-delta addition
+    gets wrong)."""
+    from ner_backend_spark.spark.graph import degrees, pagerank, symmetric_edges
+
+    full = spark.createDataFrame(
+        ENTITIES, "url string, label string, text string"
+    )
+    b0_urls = ("u1", "u4", "u6", "u7")
+    b0 = full.filter(F.col("url").isin(*b0_urls))
+    b1 = full.filter(~F.col("url").isin(*b0_urls))
+
+    inc = IncrementalKg(
+        spark, str(tmp_path / "kg_an"), alias_df=alias_df, threshold=0.4
+    )
+
+    def deg_map(triples):
+        return {
+            (r["pred"], r["obj"]): r["n_subj"]
+            for r in degrees(triples).collect()
+        }
+
+    def pr_map(triples):
+        return {
+            r["node"]: round(r["rank"], 6)
+            for r in pagerank(symmetric_edges(triples), iters=3).collect()
+        }
+
+    for bid, prefix in ((0, b0), (1, full)):
+        inc.process_batch((b0, b1)[bid], bid)
+        inc_triples = kg.triples_from_canonical(prefix, inc.canonical())
+        batch_triples = kg.triples_from_canonical(
+            prefix, kg.canonicalize(prefix, alias_df, threshold=0.4)
+        )
+        assert deg_map(inc_triples) == deg_map(batch_triples), bid
+        assert pr_map(inc_triples) == pr_map(batch_triples), bid
+    # the merge actually exercised the non-additive path: batch-1 brought
+    # u2/u3 into u1's cluster, so the ORG degree census changed shape
+    final = deg_map(kg.triples_from_canonical(full, inc.canonical()))
+    assert any(n >= 3 for (p, _), n in final.items() if p == "HAS_ORG")

@@ -276,3 +276,60 @@ def test_range_join_matches_bruteforce(spark):
     assert (1000, "w4") in got  # point exactly at interval start
     k2_659 = [p for k, t, p in points if k == "k2" and t == t0 + dt.timedelta(minutes=660)]
     assert all((p, "w4") not in got for p in k2_659)  # at end -> excluded
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (round 6): membership completes the mergeable-sketch family
+
+
+def _py_bloom_bits(values, k=4, m_bits=65536):
+    bits = set()
+    for v in values:
+        for i in range(k):
+            h = hashlib.md5(f"{v}#{i}".encode()).hexdigest()
+            bits.add(int(h[:13], 16) % m_bits)
+    return bits
+
+
+def test_bloom_bits_match_python(spark):
+    from ner_backend_spark.spark.sketches import bloom_bits
+
+    vals = [f"item{i}" for i in range(300)] * 2  # dups must not matter
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r["bit"] for r in bloom_bits(df, "v").collect()}
+    assert got == _py_bloom_bits(vals)
+
+
+def test_bloom_contains_no_false_negatives(spark):
+    from ner_backend_spark.spark.sketches import bloom_bits, bloom_contains
+
+    members = [f"m{i}" for i in range(200)]
+    bits = bloom_bits(
+        spark.createDataFrame([(v,) for v in members], ["v"]), "v"
+    )
+    probes = members[:50] + [f"absent{i}" for i in range(50)]
+    out = {
+        r["key"]: r["maybe_present"]
+        for r in bloom_contains(
+            bits, spark.createDataFrame([(p,) for p in probes], ["key"]), "key"
+        ).collect()
+    }
+    assert all(out[m] for m in members[:50])  # Bloom guarantee
+    # at n=200, k=4, m=65536 the FP rate is ~2e-9; all absents negative
+    assert not any(out[a] for a in probes[50:])
+
+
+def test_bloom_merge_is_bit_union(spark):
+    from ner_backend_spark.spark.sketches import bloom_bits
+
+    a = [f"a{i}" for i in range(100)]
+    b = [f"b{i}" for i in range(100)]
+    bits_a = bloom_bits(spark.createDataFrame([(v,) for v in a], ["v"]), "v")
+    bits_b = bloom_bits(spark.createDataFrame([(v,) for v in b], ["v"]), "v")
+    merged = {
+        r["bit"] for r in bits_a.union(bits_b).distinct().collect()
+    }
+    whole = bloom_bits(
+        spark.createDataFrame([(v,) for v in a + b], ["v"]), "v"
+    )
+    assert merged == {r["bit"] for r in whole.collect()}
