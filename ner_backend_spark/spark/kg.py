@@ -218,21 +218,25 @@ def lsh_candidate_pairs(
     with score >= threshold. Same final pair set as
     ``score_links(lsh_candidate_pairs(...), mentions, t)`` — Jaccard is a
     pure function of the pair, so scoring per bucket collision before the
-    distinct() equals scoring once after it — but the plan drops THREE
-    pair-set-sized shuffles (the candidate distinct now carries only
-    PASSING pairs, and the two id-joins that fetched trigram arrays
-    vanish), at the cost of trigram arrays riding the banding shuffle
-    (bands x ~100 B per mention). Measured on the m10 8.65M-edge graph:
-    the dominant pair stage was 30M candidate rows through
-    distinct + 2 joins; fused, the only wide ops are the banding shuffle
-    and an 8.65M-row distinct.
+    distinct() equals scoring once after it — and the plan drops the
+    candidate-pair distinct's full width plus the two id-joins that fetch
+    trigram arrays. MEASURED VERDICT (round-6 A/B, m10 8.65M-edge graph,
+    3 warm reps per level): the fusion LOSES — 42.3 s @4 cores / 62.0 s
+    @16 fused vs 42.4 s / 21.0 s unfused. Jaccard runs per bucket
+    collision (~30M) instead of per distinct pair (~8.65M), the banding
+    shuffle carries trigram-widened rows, and the wide-row SMJ anti-
+    scales under a shared fixed-size heap. Kept as an option because the
+    trade flips when bands*|trigrams| is small relative to the collision
+    multiplicity (near-unique buckets), but :func:`mention_edges` does
+    NOT use it.
     """
     # the banding map (trigrams + num_hashes hash passes per mention) is the
     # CPU-heaviest narrow stage of the KG tail; the mentions frame arrives
     # AQE-coalesced to a handful of partitions (it's small in BYTES), which
-    # caps this stage's parallelism — measured 12 tasks on 16 cores, 156 s
-    # of the 33 s edges wall (round-6 edges_probe). Fan it out first; on a
-    # 100 TB input the scan provides the width and this is a no-op.
+    # caps this stage's parallelism — round-6 edges_probe measured the map
+    # running as 12 tasks on 16 cores (aggregate task time ~5x the stage
+    # wall available to it). Fan it out first; on a 100 TB input the scan
+    # provides the width and this is a no-op.
     from .session import ensure_parallelism
 
     banded = band_signatures(
@@ -570,18 +574,22 @@ def mention_edges(
     callers that only consume the edges (the stage-checkpointed runner
     re-derives alias hits at its canonical stage from on-disk mentions).
     """
-    # fused path: Jaccard scored inline in the bucket self-join (see
-    # lsh_candidate_pairs score_threshold) — identical edge set to
-    # score_links(lsh_candidate_pairs(...), mentions, threshold), minus
-    # three candidate-pair-sized shuffles (round-6 edges_probe: the
-    # distinct + two trigram id-joins were the non-scaling 42 s stage)
-    sim_edges = lsh_candidate_pairs(
-        mentions,
-        num_hashes,
-        bands,
-        max_bucket_size=max_bucket_size,
-        score_threshold=threshold,
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # candidates-then-score, NOT the fused score_threshold path: the
+    # round-6 A/B on the m10 8.65M-edge graph (3 warm reps/level,
+    # /tmp entities_240000_m10) REFUTED the fusion — fused 42.3 s @4
+    # cores / 62.0 s @16 vs unfused 42.4 s / 21.0 s. Scoring once per
+    # DISTINCT pair (~8.65M Jaccard evaluations on dictionary-encoded
+    # joined arrays) beats scoring every bucket collision (~30M
+    # evaluations inside the SMJ probe on trigram-widened rows, which
+    # also quadruples the banding shuffle bytes and anti-scales under
+    # the shared fixed-size heap). The id-joins the fusion was meant to
+    # remove turn out to be the cheap part.
+    pairs = lsh_candidate_pairs(
+        mentions, num_hashes, bands, max_bucket_size=max_bucket_size
+    )
+    sim_edges = score_links(pairs, mentions, threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
     if alias_df is None:
         return sim_edges, None
     # materialized: hits is consumed by the alias edges AND (lazily, in the
