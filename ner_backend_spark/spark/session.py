@@ -60,13 +60,23 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master_url: str | None = None,
 ) -> SparkSession:
+    """``master_url`` (or env ``SPARK_GRAFT_MASTER``): connect to a real
+    cluster manager (standalone/YARN/K8s) instead of local[cores] — the
+    deployment path the north star targets (`spark-submit --py-files` onto
+    multi-executor clusters). Executor sizing then comes from
+    ``spark.executor.cores`` / ``spark.executor.memory`` in ``extra_conf``
+    (or the cluster's defaults), and ``cores`` is ignored; executors
+    resolve this package via ``spark.executorEnv.PYTHONPATH`` (set to the
+    repo root by the cluster harness) or a shipped ``--py-files`` zip."""
+    master_url = master_url or os.environ.get("SPARK_GRAFT_MASTER")
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master_url or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
