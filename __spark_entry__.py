@@ -671,6 +671,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, **SEMANTIC_DEDUP)
 
 
+def _q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (Lucene idf; k1=1.2, b=0.75) — the retrieval primitive for
+    relevance-ranked corpus slices. Row-local term frequencies (the
+    corpus is never exploded); the one-row stats aggregate broadcasts.
+    Oracle: the identical fixed-order float expression in DuckDB."""
+    from ner_backend_spark.flagship import BM25
+    from ner_backend_spark.spark.textstats import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), "doc_id", "text", **BM25)
+
+
 def _q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate mining: word 3-grams in >= 2 docs."""
     from ner_backend_spark.flagship import COMMON_NGRAMS
@@ -1364,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": _q_quality_scores,
         "q_curation_stats": _q_curation_stats,
         "q_lang_id": _q_lang_id,
+        "q_bm25_rank": _q_bm25_rank,
     }
 
 
@@ -1880,6 +1893,55 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-ln(c / t)), 4) AS avg_neg_log_p
             FROM tok JOIN fr USING (token) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        # bm25_scores mirror: same tokenizer CTE, row-local tf via
+        # list_filter, one-row stats, and the SAME fixed-order float
+        # expression per term (idf * (tf*(1.2+1.0)) / (tf + 1.2*((1-0.75)
+        # + (0.75*dl)/avgdl))) so the doubles match bit-for-bit pre-round
+        "q_bm25_rank": r"""
+            WITH wt AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                                '\s+')
+                       END AS words
+                FROM documents
+            ), base AS (
+                SELECT doc_id, len(words) AS dl,
+                       len(list_filter(words, w -> w = 'spark')) AS tf0,
+                       len(list_filter(words, w -> w = 'scan'))  AS tf1,
+                       len(list_filter(words, w -> w = 'the'))   AS tf2
+                FROM wt
+            ), st AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(dl AS BIGINT) AS dl,
+                   (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_matched,
+                   round(
+                     ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                       * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf0 AS DOUBLE)
+                          + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))
+                     + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                       * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf1 AS DOUBLE)
+                          + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))
+                     + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                       * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+                       / (CAST(tf2 AS DOUBLE)
+                          + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)),
+                   6) AS bm25
+            FROM base CROSS JOIN st
         """,
         "q_decontaminate": r"""
             WITH wt AS (

@@ -62,6 +62,10 @@ SEMANTIC_DEDUP = dict(
 # sketch variant of q_decontaminate. The inline DuckDB oracle mirrors the
 # md5 bit math 1:1, so false positives are deterministic and identical.
 BLOOM_DECON = dict(n=8, k=4, m_bits=65536, max_grams_per_doc=2000)
+# BM25 retrieval scoring (textstats.bm25_scores): fixed query-term set,
+# Lucene idf, k1/b at the standard operating point; fixed-order float
+# expression mirrored 1:1 in the DuckDB oracle.
+BM25 = dict(terms=["spark", "scan", "the"], k1=1.2, b=0.75)
 MULTIMODAL_DIM = 16
 WINNOW = dict(k=5, window=4)
 WINNOW_NEARDUP = dict(min_shared=5, max_postings=64)

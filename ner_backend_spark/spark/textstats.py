@@ -541,3 +541,83 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS + "+", " ")
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, dl, n_matched, bm25): Okapi BM25 relevance of every document
+    against a fixed query-term set — the corpus-analytics retrieval
+    primitive (quality-weighted keyword filtering, seed-document mining,
+    relevance-ranked corpus slices for targeted training mixes).
+
+      bm25 = Σ_t idf(t) · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))
+      idf  = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)   (Lucene BM25, ≥ 0)
+
+    Scale shape: the query-term set is tiny and CONSTANT, so per-document
+    term frequencies are computed ROW-LOCALLY (`F.filter` over the token
+    array, one column per term in a single projection) — the corpus is
+    never exploded to a token table and the only shuffle in the whole
+    plan is the one-row corpus-stats aggregate (N, avgdl, df_t), which
+    broadcasts back. Every float step is a fixed-order closed-form
+    expression (term order = argument order), so the DuckDB oracle
+    reproduces it bit-for-bit before the final rounding.
+
+    Like :func:`unigram_logppl`, the corpus is deliberately scanned twice
+    (stats pass + scoring pass) instead of checkpointing the tokenized
+    intermediate — a cheap columnar re-scan beats materializing a
+    corpus-sized token array at 100 TB.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    words = words_expr(F.col(text_col))
+
+    def _eq(term: str):
+        # arity-1 closure: a 2-arg lambda (e.g. the `t=t` default-capture
+        # idiom) would be treated by F.filter as an (element, index) lambda
+        return lambda w: w == F.lit(term)
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(words).alias("dl"),
+        *[
+            F.size(F.filter(words, _eq(t))).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"_tf_{i}").cast("double")
+        dfreq = F.col(f"_df_{i}").cast("double")
+        n = F.col("_n").cast("double")
+        idf = F.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+        return idf * (tf * (k1 + 1.0)) / denom
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    matched = sum(
+        (F.col(f"_tf_{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        F.col("dl").cast("long").alias("dl"),
+        matched.alias("n_matched"),
+        F.round(score, round_digits).alias("bm25"),
+    )

@@ -696,3 +696,32 @@ def test_semantic_dedup_over_cap_clusters_exempted(spark, vectors):
         max_cluster_size=1,
     )
     assert not any(r["is_dup"] for r in out.collect())
+
+
+def test_bm25_matches_python_replica(spark, docs):
+    """bm25_scores equals an independent Okapi BM25 (Lucene idf)
+    computation over the same whitespace tokenization."""
+    import math
+
+    terms = ["the", "fox", "quartz"]
+    out = {
+        r["doc_id"]: r
+        for r in textstats.bm25_scores(
+            docs, "doc_id", "text", terms, k1=1.2, b=0.75
+        ).collect()
+    }
+    toks = {i: t.lower().split() for i, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    for i, w in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = w.count(t)
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            score += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(w) / avgdl))
+        assert out[i]["dl"] == len(w)
+        assert out[i]["n_matched"] == sum(1 for t in terms if t in w)
+        assert abs(out[i]["bm25"] - round(score, 6)) < 2e-6, i
+    # ranking sanity: docs containing the rare term outrank those without
+    assert out[4]["bm25"] > out[3]["bm25"]  # 'quartz' only in doc 4
