@@ -169,6 +169,20 @@ def _run(cap: StderrCapture) -> dict:
     warm_python_workers(spark)
     cap.new_error_lines()  # drain startup noise; timed queries start clean
 
+    def _loadavg() -> list[float] | None:
+        # shared-VM forensics: external neighbor load inflates JVM-bound
+        # queries 3-4x while barely moving the Python-process-bound NER
+        # throughput (round-5/6 drift analysis) — recording the 1/5/15-min
+        # load alongside the walls lets a reader separate code regressions
+        # from a loud machine without re-running anything
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            return None
+
+    load_before = _loadavg()
+
     timings: dict[str, float] = {}
     spark_errors: dict[str, int] = {}
     for name in BENCH_QUERIES:
@@ -195,6 +209,8 @@ def _run(cap: StderrCapture) -> dict:
         "ner_docs_per_sec": round(n_docs / ner_secs, 1) if ner_secs else None,
         "n_spark_errors": sum(spark_errors.values()),
         "spark_errors_by_query": spark_errors,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
     }
     spark.stop()
     return result
