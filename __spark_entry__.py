@@ -1113,6 +1113,17 @@ def _q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurring_pairs(_q_kg_triples(spark, sf_dir), max_per_subj=20)
 
 
+def _q_kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI/NPMI association scores over co-occurring entity pairs — the
+    distant-supervision signal layered on q_kg_cooccurrence; marginals
+    computed over the same capped per-page object set as the joints.
+    Oracle: identical fixed-order float math over the pure-Python triples
+    oracle table (compositional)."""
+    from ner_backend_spark.spark.graph import pmi_pairs
+
+    return pmi_pairs(_q_kg_triples(spark, sf_dir), max_per_subj=20)
+
+
 def _q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time lookup): each click event picks up the
     latest view value at-or-before its timestamp per user — the union +
@@ -1377,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_curation_stats": _q_curation_stats,
         "q_lang_id": _q_lang_id,
         "q_bm25_rank": _q_bm25_rank,
+        "q_kg_pmi": _q_kg_pmi,
     }
 
 
@@ -1502,6 +1514,37 @@ def oracle_sql() -> dict[str, str]:
         FROM capped a JOIN capped b
           ON a.subj = b.subj AND a.obj < b.obj
         GROUP BY a.obj, b.obj
+    """
+    materialized["q_kg_pmi"] = f"""
+        WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
+        capped AS (
+            SELECT subj, obj FROM (
+                SELECT subj, obj,
+                       row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+                FROM objs
+            ) WHERE rn <= 20
+        ),
+        pairs AS (
+            SELECT a.obj AS obj_a, b.obj AS obj_b, count(*) AS n_ab
+            FROM capped a JOIN capped b
+              ON a.subj = b.subj AND a.obj < b.obj
+            GROUP BY a.obj, b.obj
+        ),
+        marg AS (SELECT obj, count(*) AS n FROM capped GROUP BY obj),
+        npg AS (SELECT CAST(count(DISTINCT subj) AS DOUBLE) AS np FROM capped)
+        SELECT p.obj_a, p.obj_b, p.n_ab,
+               round(ln((CAST(p.n_ab AS DOUBLE) * np)
+                        / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE))), 6)
+                   AS pmi,
+               round(CASE WHEN CAST(p.n_ab AS DOUBLE) = np THEN 1.0
+                     ELSE ln((CAST(p.n_ab AS DOUBLE) * np)
+                             / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)))
+                          / (-ln(CAST(p.n_ab AS DOUBLE) / np)) END, 6)
+                   AS npmi
+        FROM pairs p
+        JOIN marg ma ON ma.obj = p.obj_a
+        JOIN marg mb ON mb.obj = p.obj_b
+        CROSS JOIN npg
     """
     materialized["q_kg_triangles"] = f"""
         WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),

@@ -213,3 +213,79 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     ).join(closing, ["u", "v"], "left_semi")
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pmi_pairs(
+    triples: DataFrame, max_per_subj: int = 20, round_digits: int = 6
+) -> DataFrame:
+    """(obj_a, obj_b, n_ab, pmi, npmi): pointwise mutual information of
+    co-occurring entity pairs — the scoring layer over
+    :func:`cooccurring_pairs` that turns raw co-mention counts into the
+    standard distant-supervision association signal:
+
+      pmi  = ln( (n_ab · N) / (n_a · n_b) )
+      npmi = pmi / (−ln(n_ab / N)),  1.0 when the pair is on every page
+
+    where N is the number of pages and n_a/n_b the per-entity page
+    counts, all computed over the SAME per-page capped object set as the
+    pair counts (marginals consistent with the joint by construction —
+    mixing capped pairs with uncapped marginals would push pmi out of
+    [−∞, −ln(p(a,b))] and break npmi's [−1, 1] bound).
+
+    Scale shape: the capped self-join is the only pair-sized operation
+    (inherited bound: K(K−1)/2 per page); marginals are a map-side-
+    combined groupBy on obj; N is a one-row broadcast. The float math is
+    a fixed-order closed-form expression mirrored 1:1 in the DuckDB
+    oracle, rounded to ``round_digits``.
+    """
+    objs = triples.select("subj", "obj").distinct()
+    w = Window.partitionBy("subj").orderBy("obj")
+    capped = _materialize(
+        objs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_per_subj)
+        .select("subj", "obj"),
+        eager=False,
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.subj") == F.col("b.subj"),
+                F.col("a.obj") < F.col("b.obj"),
+            ],
+        )
+        .select(F.col("a.obj").alias("obj_a"), F.col("b.obj").alias("obj_b"))
+        .groupBy("obj_a", "obj_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    marg = capped.groupBy("obj").agg(F.count(F.lit(1)).alias("n"))
+    npages = capped.agg(
+        F.countDistinct("subj").cast("double").alias("np")
+    )
+    j = (
+        pairs.join(
+            marg.select(F.col("obj").alias("obj_a"), F.col("n").alias("n_a")),
+            "obj_a",
+        )
+        .join(
+            marg.select(F.col("obj").alias("obj_b"), F.col("n").alias("n_b")),
+            "obj_b",
+        )
+        .crossJoin(F.broadcast(npages))
+    )
+    nab = F.col("n_ab").cast("double")
+    ratio = (nab * F.col("np")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    pmi = F.log(ratio)
+    npmi = F.when(nab == F.col("np"), F.lit(1.0)).otherwise(
+        pmi / (-F.log(nab / F.col("np")))
+    )
+    return j.select(
+        "obj_a",
+        "obj_b",
+        F.col("n_ab"),
+        F.round(pmi, round_digits).alias("pmi"),
+        F.round(npmi, round_digits).alias("npmi"),
+    )

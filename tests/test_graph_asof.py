@@ -230,3 +230,54 @@ def test_triangle_count_empty_and_acyclic(spark):
         [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
     )
     assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_pmi_pairs_matches_python(spark):
+    """pmi/npmi equal an independent computation over capped page-object
+    sets, including the every-page pair npmi=1.0 branch."""
+    import math
+
+    from ner_backend_spark.spark.graph import pmi_pairs
+
+    pages = {
+        "p1": {"a", "b", "c"},
+        "p2": {"a", "b"},
+        "p3": {"a", "b", "d"},
+        "p4": {"d", "e"},
+    }
+    triples = spark.createDataFrame(
+        [(p, "HAS_X", o) for p, objs in pages.items() for o in sorted(objs)],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r["obj_a"], r["obj_b"]): r
+        for r in pmi_pairs(triples, max_per_subj=20).collect()
+    }
+    n = len(pages)
+    marg = {
+        o: sum(1 for s in pages.values() if o in s)
+        for s in pages.values()
+        for o in s
+    }
+    for (x, y), r in got.items():
+        n_ab = sum(1 for s in pages.values() if x in s and y in s)
+        assert r["n_ab"] == n_ab
+        pmi = math.log(n_ab * n / (marg[x] * marg[y]))
+        assert abs(r["pmi"] - round(pmi, 6)) < 2e-6
+        if n_ab == n:
+            assert r["npmi"] == 1.0
+        else:
+            assert abs(r["npmi"] - round(pmi / -math.log(n_ab / n), 6)) < 2e-6
+    # (d,e) appear together beyond chance -> positive association
+    assert got[("d", "e")]["pmi"] > 0
+    # (a,c): joint exactly at independence (1*4 vs 3*... ) -> pmi ln(4/3) > 0
+    # while (b,d) co-occur once but both are common -> below chance
+    assert got[("b", "d")]["pmi"] < 0
+
+    # every-page pair exercises the npmi=1.0 guard (−ln(n_ab/N) = 0)
+    allp = spark.createDataFrame(
+        [("p1", "T", "x"), ("p1", "T", "y"), ("p2", "T", "x"), ("p2", "T", "y")],
+        "subj string, pred string, obj string",
+    )
+    rows = {(r["obj_a"], r["obj_b"]): r for r in pmi_pairs(allp).collect()}
+    assert rows[("x", "y")]["npmi"] == 1.0 and rows[("x", "y")]["pmi"] == 0.0
