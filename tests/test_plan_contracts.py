@@ -84,3 +84,22 @@ def test_pagerank_per_iteration_plan_is_constant(spark):
     assert all(c <= 2 for c in counts), counts
     # the final returned plan is checkpoint-rooted: zero exchanges
     assert _plan(pr).count("Exchange") == 0
+
+
+def test_bloom_filter_bits_broadcast(spark):
+    """The Bloom bit table (≤ m_bits rows by construction) must join the
+    probe side as a BROADCAST — the probe (corpus vocabulary) never
+    shuffles on the bit key. This is the whole scale argument for
+    bloom_decontaminate vs the exact-gram broadcast."""
+    from ner_backend_spark.spark.sketches import bloom_bits, bloom_contains
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(50)], ["v"])
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["key"])
+    out = bloom_contains(bloom_bits(members, "v"), keys, "key")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # exactly two hash exchanges, both legitimate and bounded: the
+    # bits-side distinct (≤ m_bits rows) and the final per-key hit
+    # aggregation; the probe join itself must contribute none
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan
