@@ -1286,6 +1286,22 @@ def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per entity of the co-occurrence
+    graph — the per-node cohesion profile completing the triangles row
+    (lcc = 2·tri/(deg·(deg−1))). Degree-oriented wedges with the center
+    kept, so the pair-join stays O(m^1.5) hub-independent. Oracle: the
+    textbook x<y<z triangle listing credited to all three corners over
+    the compositional co-occurrence CTE."""
+    from ner_backend_spark.spark.graph import clustering_coefficient
+
+    pairs = _q_kg_cooccurrence(spark, sf_dir)
+    edges = pairs.select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    return clustering_coefficient(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate verifies exactly the
     # FIRST 50 entries (confirmed rounds 4+5). Positions 1-35 are a FIXED
@@ -1389,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": _q_lang_id,
         "q_bm25_rank": _q_bm25_rank,
         "q_kg_pmi": _q_kg_pmi,
+        "q_kg_clustering": _q_kg_clustering,
     }
 
 
@@ -1545,6 +1562,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN marg ma ON ma.obj = p.obj_a
         JOIN marg mb ON mb.obj = p.obj_b
         CROSS JOIN npg
+    """
+    materialized["q_kg_clustering"] = f"""
+        WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
+        capped AS (
+            SELECT subj, obj FROM (
+                SELECT subj, obj,
+                       row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+                FROM objs
+            ) WHERE rn <= 20
+        ),
+        und AS (
+            SELECT DISTINCT a.obj AS a, b.obj AS b
+            FROM capped a JOIN capped b
+              ON a.subj = b.subj AND a.obj < b.obj
+        ),
+        sym AS (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ),
+        deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+        tris AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT x AS node FROM tris
+            UNION ALL SELECT y AS node FROM tris
+            UNION ALL SELECT z AS node FROM tris
+        ),
+        ntri AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+        SELECT d.node, d.deg, COALESCE(n.n_tri, 0) AS n_tri,
+               round(CASE WHEN d.deg >= 2
+                     THEN 2.0 * COALESCE(n.n_tri, 0)
+                          / (CAST(d.deg AS DOUBLE) * (d.deg - 1))
+                     ELSE 0.0 END, 6) AS lcc
+        FROM deg d LEFT JOIN ntri n USING (node)
     """
     materialized["q_kg_triangles"] = f"""
         WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),

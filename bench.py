@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "q_range_join",
     "q_bloom_decontaminate",
     "q_semantic_dedup",
+    "q_bm25_rank",
+    "q_kg_pmi",
 ]
 
 

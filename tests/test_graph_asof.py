@@ -232,6 +232,43 @@ def test_triangle_count_empty_and_acyclic(spark):
     assert triangle_count(path).collect()[0]["n_triangles"] == 0
 
 
+def test_clustering_coefficient_matches_bruteforce(spark):
+    import itertools
+
+    from ner_backend_spark.spark.graph import clustering_coefficient
+
+    # clique of 4 (lcc=1 everywhere) + a pendant off c0 + the hub/star
+    # noise from the triangle test (star: lcc=0 at leaves)
+    edges = [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges += [("c0", "p"), ("h", "s0"), ("h", "s1"), ("s0", "s0")]
+    adj = set()
+    for a, b in edges:
+        if a != b:
+            adj.add((min(a, b), max(a, b)))
+    nbrs = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    for n, ns in nbrs.items():
+        tri = sum(
+            1
+            for u, v in itertools.combinations(sorted(ns), 2)
+            if (min(u, v), max(u, v)) in adj
+        )
+        deg = len(ns)
+        lcc = round(2.0 * tri / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+        want[n] = (deg, tri, lcc)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["lcc"])
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got == want
+    assert got["c0"][2] == round(2 * 3 / (4 * 3), 6)  # clique + pendant
+    assert got["p"] == (1, 0, 0.0)
+
+
 def test_pmi_pairs_matches_python(spark):
     """pmi/npmi equal an independent computation over capped page-object
     sets, including the every-page pair npmi=1.0 branch."""

@@ -56,6 +56,32 @@ def test_connected_components_chain_and_star(spark):
     assert len(comp) == 31
 
 
+def test_connected_components_hashmin_equivalence(spark):
+    # hash-to-min must assign the identical (id -> min-node) labeling as
+    # the alternating-star default on chains, stars, random graphs, and
+    # isolated self-loops (the A/B candidate of tools/cc_ab_hashmin.py)
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(30)],                     # chain
+        [(0, i) for i in range(1, 12)] + [(50, 50)],          # star + loner
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(90)],
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(120)],
+    ]
+    for raw in cases:
+        edges = spark.createDataFrame(raw, ["src", "dst"])
+        star = {
+            r["id"]: r["component"]
+            for r in kg.connected_components(edges).collect()
+        }
+        hm = {
+            r["id"]: r["component"]
+            for r in kg.connected_components_hashmin(edges).collect()
+        }
+        assert hm == star
+
+
 def test_lsh_blocking_proposes_similar_pairs(spark, entities):
     mentions = kg.extract_mentions(entities)
     pairs = kg.lsh_candidate_pairs(mentions, num_hashes=12, bands=6)

@@ -103,3 +103,30 @@ def test_bloom_filter_bits_broadcast(spark):
     # aggregation; the probe join itself must contribute none
     assert plan.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_graph_pair_ops_never_nested_loop(spark):
+    """The capped co-occurrence self-join, PMI joint/marginal joins, and
+    the clustering-coefficient wedge join all carry an inequality
+    predicate next to an equality key; the contract is that Catalyst
+    compiles them as hash/sort EQUI-joins with the inequality as a
+    residual filter — never a CartesianProduct / nested-loop, whose cost
+    would be quadratic in the corpus rather than the per-page cap."""
+    triples = spark.createDataFrame(
+        [(f"p{i % 7}", "HAS_NAME", f"e{(i * 3) % 11}") for i in range(60)],
+        ["subj", "pred", "obj"],
+    )
+    edges = graph.cooccurring_pairs(triples, max_per_subj=20).select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    for df, bnlj_budget in (
+        (graph.cooccurring_pairs(triples, max_per_subj=20), 0),
+        # pmi's ONE BroadcastNestedLoopJoin is the deliberate one-row
+        # crossJoin(broadcast(npages)) — O(1) build side by construction
+        (graph.pmi_pairs(triples, max_per_subj=20), 1),
+        (graph.clustering_coefficient(edges), 0),
+        (graph.triangle_count(edges), 0),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget, plan
