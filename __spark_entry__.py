@@ -1286,6 +1286,71 @@ def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-split sequence packing: whitespace token
+    counts laid end-to-end in doc_id order, split at 512-token
+    boundaries — computed as a two-level distributed prefix sum (chunked
+    window + broadcast chunk offsets), never one global window. Oracle:
+    the naive single global window — identical arithmetic."""
+    from ner_backend_spark.spark.packing import pack_sequences
+    from ner_backend_spark.spark.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", seq_len=512, chunk=128)
+
+
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view -> click -> purchase) per user via
+    chained min-after-timestamp aggregations — three map-side-combined
+    groupBys joined on the user key (co-partitioned), never a per-user
+    event sort or collect_list. stage = furthest step reached."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            stage.alias("stage"),
+        )
+    )
+
+
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character census per document (Latin/digit/
+    Cyrillic/CJK counts, Latin fraction, dominant script) — pure-codegen
+    regexp counting with engine-portable \\x{...} range classes."""
+    from ner_backend_spark.spark.textstats import add_script_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_script_profile(docs).drop("text")
+
+
 def _q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per entity of the co-occurrence
     graph — the per-node cohesion profile completing the triangles row
@@ -1406,6 +1471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_rank": _q_bm25_rank,
         "q_kg_pmi": _q_kg_pmi,
         "q_kg_clustering": _q_kg_clustering,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_event_funnel": _q_event_funnel,
+        "q_script_profile": _q_script_profile,
     }
 
 
@@ -2174,6 +2242,76 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN url LIKE '%.bin' THEN 'unsupported file type'
                         ELSE NULL END AS error
             FROM objs
+        """,
+        "q_pack_sequences": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS BIGINT) AS n_tok
+                FROM documents
+            ), cums AS (
+                SELECT doc_id, n_tok,
+                       CAST(sum(n_tok) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_tok AS BIGINT) AS start_off
+                FROM toks
+            )
+            SELECT doc_id, n_tok, start_off,
+                   CAST(start_off // 512 AS BIGINT) AS seq_id
+            FROM cums
+        """,
+        "q_event_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t_view
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t_click
+                FROM events e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > v.t_view
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t_purchase
+                FROM events e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+                   CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS stage
+            FROM v
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+        """,
+        "q_script_profile": r"""
+            SELECT doc_id,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                   CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+                   round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS frac_latin,
+                   CASE
+                     WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                          >= length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                      AND length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                          >= length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g'))
+                      AND length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                          >= length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+                     THEN 'latin'
+                     WHEN length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                          >= length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g'))
+                      AND length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                          >= length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+                     THEN 'digit'
+                     WHEN length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g'))
+                          >= length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+                     THEN 'cyrillic'
+                     ELSE 'cjk'
+                   END AS dominant_script
+            FROM documents
         """,
         "q_lang_id": """
             WITH hits AS (

@@ -621,3 +621,49 @@ def bm25_scores(
         matched.alias("n_matched"),
         F.round(score, round_digits).alias("bm25"),
     )
+
+
+def add_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script character profile per document: counts of Latin
+    letters, digits, Cyrillic and CJK characters, the Latin fraction,
+    and the dominant script — the multilingual-corpus census that routes
+    documents to per-script processing (tokenizer choice, lang-id
+    priors) upstream of the n-gram lang-id heuristic.
+
+    Pure codegen: each count is length(text) − length(regexp_replace)
+    with an explicit \\x{...} range class that parses identically in
+    Java regex (Spark) and RE2 (the DuckDB oracle) — no \\p{Script=}
+    classes, whose coverage differs between the engines. Dominant-script
+    ties break in the fixed latin > digit > cyrillic > cjk order,
+    mirrored in the oracle's CASE chain.
+    """
+    t = F.col(text_col)
+
+    def _cnt(cls: str):
+        return F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+
+    n_latin = _cnt("[A-Za-z]")
+    n_digit = _cnt("[0-9]")
+    n_cyr = _cnt(r"[\x{0400}-\x{04ff}]")
+    n_cjk = _cnt(r"[\x{4e00}-\x{9fff}]")
+    dominant = (
+        F.when(
+            (n_latin >= n_digit) & (n_latin >= n_cyr) & (n_latin >= n_cjk),
+            F.lit("latin"),
+        )
+        .when((n_digit >= n_cyr) & (n_digit >= n_cjk), F.lit("digit"))
+        .when(n_cyr >= n_cjk, F.lit("cyrillic"))
+        .otherwise(F.lit("cjk"))
+    )
+    return df.withColumns(
+        {
+            "n_latin": n_latin.cast("long"),
+            "n_digit": n_digit.cast("long"),
+            "n_cyrillic": n_cyr.cast("long"),
+            "n_cjk": n_cjk.cast("long"),
+            "frac_latin": F.round(
+                n_latin / F.greatest(F.length(t), F.lit(1)), 4
+            ),
+            "dominant_script": dominant,
+        }
+    )
