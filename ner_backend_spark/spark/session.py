@@ -55,6 +55,58 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def engine_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """The engine's session conf as a dict, for builders this module does
+    not own — most importantly the ``spark-submit`` deployment entry
+    (tools/submit_pipeline.py), which must NOT set a master (spark-submit
+    owns it) but must still carry these knobs: a bare ``getOrCreate()``
+    measured 3x ANTI-scaling on the KG edges stage at 4 workers because
+    the app started before all executors registered, so
+    ``ensure_parallelism`` sized frames to the early, smaller
+    defaultParallelism and the localCheckpoint lineage cuts pinned their
+    blocks to the first executor (SUBMIT_CLUSTER.json, round 6)."""
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(
+            DEFAULT_ARROW_BATCH
+        ),
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
+    }
+
+
+def wait_for_executors(spark: SparkSession, timeout_s: float = 60.0) -> int:
+    """Block until executor registration stabilizes (defaultParallelism
+    unchanged across consecutive 1 s polls), so parallelism-derived
+    decisions (ensure_parallelism, localCheckpoint placement) see the
+    full cluster width. No-op on local masters (registration is
+    immediate). Returns the stabilized core count."""
+    import time
+
+    sc = spark.sparkContext
+    if (sc.master or "").startswith("local"):
+        return sc.defaultParallelism
+    deadline = time.monotonic() + timeout_s
+    prev = -1
+    stable = 0
+    while time.monotonic() < deadline:
+        cur = sc.defaultParallelism
+        stable = stable + 1 if cur == prev and cur > 0 else 0
+        if stable >= 2:
+            break
+        prev = cur
+        time.sleep(1)
+    return sc.defaultParallelism
+
+
 def get_spark(
     app_name: str = "ner-backend-spark",
     cores: int | str | None = None,
@@ -72,30 +124,16 @@ def get_spark(
     repo root by the cluster harness) or a shipped ``--py-files`` zip."""
     master_url = master_url or os.environ.get("SPARK_GRAFT_MASTER")
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
-    shuffle_partitions = shuffle_partitions or int(
-        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
-    )
     builder = (
         SparkSession.builder.master(master_url or f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config(
-            "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(DEFAULT_ARROW_BATCH),
-        )
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        # reclaim reliable-checkpoint files (kg._materialize lineage cuts)
-        # once their RDDs are GC'd — default false leaks one file set per
-        # CC fixpoint round in long-lived sessions
-        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
+    # shared engine knobs (AQE, Arrow batching, split sizing, checkpoint
+    # cleanup — see engine_conf's docstring for why they live in a dict)
+    for k, v in engine_conf(shuffle_partitions).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

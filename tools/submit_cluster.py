@@ -1,0 +1,128 @@
+"""North-rule literal deployment evidence: `spark-submit --py-files`
+against the standalone multi-executor cluster at TWO cluster sizes.
+
+Drives tools/submit_pipeline.py (the sys.path-free entry point — the
+package ships ONLY via --py-files) through /opt/spark/bin/spark-submit
+at N and 4N one-executor workers, same input, and writes
+SUBMIT_CLUSTER.json with per-level wall/throughput + scaling efficiency.
+This is the same topology as bench_scaling_cluster.py but exercised
+through the deployment command the north rule names, end to end
+(pages -> entities -> checkpointed report -> triples).
+
+Usage: python tools/submit_cluster.py  [env: same as bench_scaling_cluster]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench_scaling_cluster as bsc  # noqa: E402
+
+PAGES = os.environ.get(
+    "SPARK_SUBMIT_PAGES", "/tmp/spark_graft_scaling/pages_480000_m1"
+)
+ZIP = "/tmp/ner_backend_spark.zip"
+
+
+def build_zip() -> None:
+    if os.path.exists(ZIP):
+        os.unlink(ZIP)
+    subprocess.run(
+        ["zip", "-qr", ZIP, "ner_backend_spark"], cwd=REPO, check=True
+    )
+
+
+REPS = int(os.environ.get("SPARK_SUBMIT_REPS", "1"))
+
+
+def run_level(n_workers: int) -> dict:
+    procs = bsc.start_workers(n_workers)
+    try:
+        reps = [_run_once(n_workers, i) for i in range(REPS)]
+    finally:
+        bsc.stop_workers(procs)
+    best = min(reps, key=lambda r: r["pipeline_seconds"])
+    best["pipeline_seconds_per_rep"] = [r["pipeline_seconds"] for r in reps]
+    return best
+
+
+def _run_once(n_workers: int, rep: int) -> dict:
+    out_dir = f"/tmp/submit_cluster_out_{n_workers}w"
+    subprocess.run(["rm", "-rf", out_dir], check=True)
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [
+            "/opt/spark/bin/spark-submit",
+            "--master", f"spark://{bsc.MASTER_HOST}:{bsc.MASTER_PORT}",
+            "--conf", f"spark.executor.cores={bsc.EXECUTOR_CORES}",
+            "--conf", f"spark.executor.memory={bsc.EXECUTOR_MEM}",
+            "--py-files", ZIP,
+            os.path.join(REPO, "tools", "submit_pipeline.py"),
+            "--pages", PAGES,
+            "--out", out_dir,
+            "--triples",
+        ],
+        capture_output=True, text=True, cwd="/tmp", timeout=3600,
+        env={**os.environ, "SPARK_SHUFFLE_PARTITIONS": "128"},
+    )
+    wall = time.monotonic() - t0
+    lines = [
+        ln for ln in proc.stdout.splitlines()
+        if ln.startswith("PIPELINE_SUMMARY ")
+    ]
+    if not lines:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise SystemExit(f"submit at {n_workers}w failed")
+    summary = json.loads(lines[-1][len("PIPELINE_SUMMARY "):])
+    return {
+        "n_workers": n_workers,
+        "cores": n_workers * bsc.EXECUTOR_CORES,
+        "submit_wall_seconds": round(wall, 1),
+        "pipeline_seconds": summary["seconds"],
+        "pages": summary["pages"],
+        "entities": summary["entities"],
+        "triples": summary["triples"],
+        "docs_per_sec": round(
+            summary["pages"] / summary["seconds"], 1
+        ),
+        "report_docs_per_sec": round(
+            summary["report_metrics"]["docs_per_sec"], 1
+        ),
+        "kg_metrics": summary["kg_metrics"],
+    }
+
+
+def main() -> None:
+    build_zip()
+    bsc.ensure_master()
+    levels = [run_level(n) for n in bsc.WORKER_LEVELS]
+    lo, hi = levels[0], levels[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    report = {
+        "metric": "spark_submit_pyfiles_NtoXN_scaling",
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "levels": levels,
+        "core_ratio": ratio,
+        "deploy": "spark-submit --py-files (package from zip only; driver "
+        "cwd outside the repo)",
+        "topology": "standalone master + N one-executor worker JVMs",
+        "job": "full pipeline: pages -> entities -> checkpointed report "
+        "-> KG triples (submit_pipeline.py)",
+        "pages_dir": PAGES,
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "SUBMIT_CLUSTER.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

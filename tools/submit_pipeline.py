@@ -43,8 +43,19 @@ def main() -> None:
     )
     from ner_backend_spark.spark.tagger import ReportConfig
 
-    spark = SparkSession.builder.appName("ner-backend-pipeline").getOrCreate()
+    from ner_backend_spark.spark.session import engine_conf, wait_for_executors
+
+    # spark-submit owns --master; this entry carries the engine's session
+    # knobs itself (a bare getOrCreate measured 3x ANTI-scaling on the KG
+    # edges stage: the app started before all executors registered, so
+    # parallelism-derived sizing and localCheckpoint placement saw a
+    # 1-executor cluster — see engine_conf's docstring).
+    builder = SparkSession.builder.appName("ner-backend-pipeline")
+    for k, v in engine_conf().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    cores = wait_for_executors(spark)
 
     t0 = time.monotonic()
     pages = spark.read.parquet(args.pages).select("url", "text")
@@ -65,6 +76,7 @@ def main() -> None:
     report_res = report.run(pages)
 
     summary = {
+        "cores": cores,
         "pages": spark.read.parquet(args.pages).count(),
         "entities": spark.read.parquet(f"{args.out}/entities").count(),
         "groups": spark.read.parquet(f"{args.out}/object_groups").count(),
