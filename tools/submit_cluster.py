@@ -42,10 +42,10 @@ def build_zip() -> None:
 REPS = int(os.environ.get("SPARK_SUBMIT_REPS", "1"))
 
 
-def run_level(n_workers: int) -> dict:
+def run_level(n_workers: int, volatile: bool) -> dict:
     procs = bsc.start_workers(n_workers)
     try:
-        reps = [_run_once(n_workers, i) for i in range(REPS)]
+        reps = [_run_once(n_workers, volatile) for _ in range(REPS)]
     finally:
         bsc.stop_workers(procs)
     best = min(reps, key=lambda r: r["pipeline_seconds"])
@@ -53,7 +53,7 @@ def run_level(n_workers: int) -> dict:
     return best
 
 
-def _run_once(n_workers: int, rep: int) -> dict:
+def _run_once(n_workers: int, volatile: bool) -> dict:
     out_dir = f"/tmp/submit_cluster_out_{n_workers}w"
     subprocess.run(["rm", "-rf", out_dir], check=True)
     t0 = time.monotonic()
@@ -68,7 +68,7 @@ def _run_once(n_workers: int, rep: int) -> dict:
             "--pages", PAGES,
             "--out", out_dir,
             "--triples",
-        ],
+        ] + (["--volatile"] if volatile else []),
         capture_output=True, text=True, cwd="/tmp", timeout=3600,
         env={**os.environ, "SPARK_SHUFFLE_PARTITIONS": "128"},
     )
@@ -95,30 +95,57 @@ def _run_once(n_workers: int, rep: int) -> dict:
         "report_docs_per_sec": round(
             summary["report_metrics"]["docs_per_sec"], 1
         ),
-        "kg_metrics": summary["kg_metrics"],
+        "kg_metrics": summary.get("kg_metrics"),
+        "ner_seconds": summary.get("ner_seconds"),
+        "kg_seconds": summary.get("kg_seconds"),
     }
+
+
+def _mode_report(volatile: bool) -> dict:
+    levels = [run_level(n, volatile) for n in bsc.WORKER_LEVELS]
+    lo, hi = levels[0], levels[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    out = {
+        "scaling_efficiency": round(eff, 3),
+        "levels": levels,
+        "core_ratio": ratio,
+    }
+    if volatile and all(l.get("ner_seconds") for l in (lo, hi)):
+        out["ner_scaling_efficiency"] = round(
+            (lo["ner_seconds"] / hi["ner_seconds"]) / ratio, 3
+        )
+    if volatile and all(l.get("kg_seconds") for l in (lo, hi)):
+        out["kg_scaling_efficiency"] = round(
+            (lo["kg_seconds"] / hi["kg_seconds"]) / ratio, 3
+        )
+    return out
 
 
 def main() -> None:
     build_zip()
     bsc.ensure_master()
-    levels = [run_level(n) for n in bsc.WORKER_LEVELS]
-    lo, hi = levels[0], levels[-1]
-    ratio = hi["cores"] / lo["cores"]
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     report = {
         "metric": "spark_submit_pyfiles_NtoXN_scaling",
-        "value": round(eff, 3),
         "unit": "fraction",
-        "levels": levels,
-        "core_ratio": ratio,
+        # volatile: the same pages->entities->triples computation without
+        # durable sinks (and without group-membership triples, which need
+        # the committed report tables) — compute+shuffle scaling,
+        # comparable to SCALING_CLUSTER*.json. durable: the production
+        # deploy (checkpointed, resumable, every stage committed) — its
+        # N->4N ratio on this ONE-DISK host measures shared sink-disk
+        # bandwidth, not the engine (each real cluster node brings its own
+        # disks); recorded for deploy-form completeness.
+        "volatile": _mode_report(volatile=True),
+        "durable": _mode_report(volatile=False),
         "deploy": "spark-submit --py-files (package from zip only; driver "
         "cwd outside the repo)",
         "topology": "standalone master + N one-executor worker JVMs",
-        "job": "full pipeline: pages -> entities -> checkpointed report "
+        "job": "full pipeline: pages -> entities (-> checkpointed report) "
         "-> KG triples (submit_pipeline.py)",
         "pages_dir": PAGES,
     }
+    report["value"] = report["volatile"]["scaling_efficiency"]
     print(json.dumps(report))
     with open(os.path.join(REPO, "SUBMIT_CLUSTER.json"), "w") as f:
         json.dump(report, f, indent=2)

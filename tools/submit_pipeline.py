@@ -28,6 +28,16 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output base path")
     ap.add_argument("--triples", action="store_true", help="also build the KG triples table")
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument(
+        "--volatile", action="store_true",
+        help="skip the checkpointed durable-write runners: run the same "
+        "pages->entities->triples computation against a noop sink. The "
+        "default (durable) mode is the production deploy — resumable, "
+        "every stage committed; volatile mode isolates compute+shuffle "
+        "throughput from sink-disk bandwidth (on the one-disk sandbox the "
+        "durable mode's N->4N scaling measures the shared disk, not the "
+        "engine).",
+    )
     args = ap.parse_args()
 
     # Import AFTER spark-submit ships --py-files; proves the deploy path.
@@ -64,6 +74,46 @@ def main() -> None:
         custom_tags={"custom_token": r"a1b2c3"},
         groups={"has_email": "COUNT(EMAIL) > 0"},
     )
+
+    if args.volatile:
+        from ner_backend_spark.flagship import KG_MAX_BUCKET
+        from ner_backend_spark.spark.kg import build_triples
+        from ner_backend_spark.spark.pipeline import run_report
+
+        n_pages = pages.count()
+        rep_t0 = time.monotonic()
+        out = run_report(pages, config)
+        n_entities = out.entities.count()
+        ner_seconds = round(time.monotonic() - rep_t0, 1)
+        summary = {
+            "cores": cores,
+            "pages": n_pages,
+            "entities": n_entities,
+            "ner_seconds": ner_seconds,
+            "report_metrics": {
+                "docs_per_sec": round(n_pages / ner_seconds, 1),
+                "n_failed_buckets": 0,
+            },
+        }
+        if args.triples:
+            alias_df = spark.createDataFrame(
+                [("user0@example.com", "ENT_USER0"), ("a1b2c3", "ENT_TOKEN")],
+                "surface string, canonical_id string",
+            )
+            kg_t0 = time.monotonic()
+            entities = run_report(pages, config).entities.select(
+                "url", "label", "text"
+            )
+            triples = build_triples(
+                entities, None, alias_df,
+                threshold=0.5, max_bucket_size=KG_MAX_BUCKET,
+            )
+            summary["triples"] = triples.count()
+            summary["kg_seconds"] = round(time.monotonic() - kg_t0, 1)
+        summary["seconds"] = round(time.monotonic() - t0, 1)
+        print("PIPELINE_SUMMARY " + json.dumps(summary))
+        spark.stop()
+        return
     # Bucket-resumable report stage: a killed job resumes here without
     # reprocessing completed url-hash buckets.
     report = CheckpointedReportRunner(
