@@ -1351,6 +1351,16 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_script_profile(docs).drop("text")
 
 
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (word/sentence/vowel-group
+    censuses + the fixed-order float formula) — the classic prose-quality
+    curation signal. Pure codegen; oracle mirrors every census."""
+    from ner_backend_spark.spark.textstats import add_readability
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return add_readability(docs).drop("text")
+
+
 def _q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per entity of the co-occurrence
     graph — the per-node cohesion profile completing the triangles row
@@ -1474,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_event_funnel": _q_event_funnel,
         "q_script_profile": _q_script_profile,
+        "q_readability": _q_readability,
     }
 
 
@@ -2242,6 +2253,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN url LIKE '%.bin' THEN 'unsupported file type'
                         ELSE NULL END AS error
             FROM objs
+        """,
+        "q_readability": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS BIGINT) AS n_words,
+                       CAST(length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                            - length(regexp_replace(text, '[.!?]+', '', 'g'))
+                            AS BIGINT) AS n_sentences,
+                       CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+                            - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+                            AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835
+                         - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                                    / CAST(greatest(n_sentences, 1) AS DOUBLE))
+                         - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                   / CAST(greatest(n_words, 1) AS DOUBLE)),
+                         4) AS flesch
+            FROM c
         """,
         "q_pack_sequences": r"""
             WITH toks AS (

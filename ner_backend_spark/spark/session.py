@@ -83,24 +83,32 @@ def engine_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
     }
 
 
-def wait_for_executors(spark: SparkSession, timeout_s: float = 60.0) -> int:
-    """Block until executor registration stabilizes (defaultParallelism
-    unchanged across consecutive 1 s polls), so parallelism-derived
-    decisions (ensure_parallelism, localCheckpoint placement) see the
-    full cluster width. No-op on local masters (registration is
-    immediate). Returns the stabilized core count."""
+def wait_for_executors(spark: SparkSession, timeout_s: float = 120.0) -> int:
+    """Block until executor registration completes, so parallelism-derived
+    decisions (ensure_parallelism, localCheckpoint placement) see the full
+    cluster width. With ``SPARK_EXPECT_CORES`` set (deploy harnesses know
+    their cluster size) the wait is DETERMINISTIC: block until
+    defaultParallelism reaches it. Without it, fall back to a stability
+    heuristic — defaultParallelism unchanged across 5 consecutive 1 s
+    polls (2 polls measured insufficient: at 4 workers registration
+    staggers over ~5-10 s and an early plateau pinned the KG edge
+    localCheckpoints to two executors — KG 185 s vs 81 s at the same 16
+    cores). No-op on local masters. Returns the core count seen."""
     import time
 
     sc = spark.sparkContext
     if (sc.master or "").startswith("local"):
         return sc.defaultParallelism
+    expect = int(os.environ.get("SPARK_EXPECT_CORES", "0"))
     deadline = time.monotonic() + timeout_s
     prev = -1
     stable = 0
     while time.monotonic() < deadline:
         cur = sc.defaultParallelism
+        if expect and cur >= expect:
+            break
         stable = stable + 1 if cur == prev and cur > 0 else 0
-        if stable >= 2:
+        if not expect and stable >= 5:
             break
         prev = cur
         time.sleep(1)

@@ -667,3 +667,47 @@ def add_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dominant_script": dominant,
         }
     )
+
+
+def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document from three regexp censuses —
+    words (whitespace runs), sentences ([.!?] runs), syllables
+    ([aeiouy]+ vowel groups, the standard heuristic):
+
+      flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    The classic prose-quality feature in curation filters (too-low =
+    word-salad boilerplate, too-high = telegraphic fragments). Pure
+    codegen; the DuckDB oracle mirrors each census and the fixed-order
+    float expression. Sentence/word counts are floored at 1 so empty or
+    punctuation-free docs score finitely instead of dividing by zero.
+    """
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_words = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, WS + "+"))
+    ).cast("long")
+    # run count = len(collapse runs to one '#') - len(remove runs)
+    n_sentences = (
+        F.length(F.regexp_replace(t, r"[.!?]+", "#"))
+        - F.length(F.regexp_replace(t, r"[.!?]+", ""))
+    ).cast("long")
+    n_syllables = (
+        F.length(F.regexp_replace(F.lower(t), r"[aeiouy]+", "#"))
+        - F.length(F.regexp_replace(F.lower(t), r"[aeiouy]+", ""))
+    ).cast("long")
+    w = F.greatest(n_words, F.lit(1)).cast("double")
+    s = F.greatest(n_sentences, F.lit(1)).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / s)
+        - F.lit(84.6) * (n_syllables.cast("double") / w)
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "n_sentences": n_sentences,
+            "n_syllables": n_syllables,
+            "flesch": F.round(flesch, 4),
+        }
+    )

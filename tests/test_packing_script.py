@@ -118,3 +118,32 @@ def test_script_profile_multiscript(spark):
     assert got[4] == (0, 6, 0, 0, "digit")
     # empty text: all-zero counts tie-break to latin by the fixed order
     assert got[5] == (0, 0, 0, 0, "latin")
+
+
+def test_readability_known_values(spark):
+    from ner_backend_spark.spark.textstats import add_readability
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),
+            (3, "no terminal punctuation here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"], r["flesch"]
+        )
+        for r in add_readability(df).collect()
+    }
+    # doc 1: 6 words, 2 sentence runs, vowel groups:
+    # "the cat sat. the dog ran!" -> e,a,a,e,o,a = 6
+    w, s, syl = 6, 2, 6
+    flesch = round(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 4)
+    assert got[1] == (w, s, syl, flesch)
+    # empty doc: floors keep the score finite
+    assert got[2][0:3] == (0, 0, 0)
+    assert got[2][3] == round(206.835 - 1.015 * 1.0 - 84.6 * 0.0, 4)
+    # no sentence punctuation: sentence floor = 1
+    assert got[3][1] == 0 and got[3][3] is not None

@@ -40,6 +40,7 @@ def build_zip() -> None:
 
 
 REPS = int(os.environ.get("SPARK_SUBMIT_REPS", "1"))
+MODES = os.environ.get("SPARK_SUBMIT_MODES", "volatile,durable").split(",")
 
 
 def run_level(n_workers: int, volatile: bool) -> dict:
@@ -70,7 +71,8 @@ def _run_once(n_workers: int, volatile: bool) -> dict:
             "--triples",
         ] + (["--volatile"] if volatile else []),
         capture_output=True, text=True, cwd="/tmp", timeout=3600,
-        env={**os.environ, "SPARK_SHUFFLE_PARTITIONS": "128"},
+        env={**os.environ, "SPARK_SHUFFLE_PARTITIONS": "128",
+             "SPARK_EXPECT_CORES": str(n_workers * bsc.EXECUTOR_CORES)},
     )
     wall = time.monotonic() - t0
     lines = [
@@ -136,8 +138,10 @@ def main() -> None:
         # N->4N ratio on this ONE-DISK host measures shared sink-disk
         # bandwidth, not the engine (each real cluster node brings its own
         # disks); recorded for deploy-form completeness.
-        "volatile": _mode_report(volatile=True),
-        "durable": _mode_report(volatile=False),
+        "volatile": _mode_report(volatile=True)
+        if "volatile" in MODES else None,
+        "durable": _mode_report(volatile=False)
+        if "durable" in MODES else None,
         "deploy": "spark-submit --py-files (package from zip only; driver "
         "cwd outside the repo)",
         "topology": "standalone master + N one-executor worker JVMs",
@@ -145,7 +149,8 @@ def main() -> None:
         "-> KG triples (submit_pipeline.py)",
         "pages_dir": PAGES,
     }
-    report["value"] = report["volatile"]["scaling_efficiency"]
+    if report["volatile"]:
+        report["value"] = report["volatile"]["scaling_efficiency"]
     print(json.dumps(report))
     with open(os.path.join(REPO, "SUBMIT_CLUSTER.json"), "w") as f:
         json.dump(report, f, indent=2)
