@@ -1351,6 +1351,21 @@ def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_script_profile(docs).drop("text")
 
 
+def _q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=2 core of the entity co-occurrence graph (iterative peel, one
+    degree groupBy + two semi-joins per round, CC-style lineage cuts +
+    convergence checksum; max_iter guard raises rather than overstating
+    the core). Oracle: the same peel in pure Python over the
+    materialized triples table."""
+    from ner_backend_spark.spark.graph import kcore
+
+    pairs = _q_kg_cooccurrence(spark, sf_dir)
+    edges = pairs.select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    return kcore(edges, k=2)
+
+
 def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (word/sentence/vowel-group
     censuses + the fixed-order float formula) — the classic prose-quality
@@ -1485,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_funnel": _q_event_funnel,
         "q_script_profile": _q_script_profile,
         "q_readability": _q_readability,
+        "q_kg_kcore": _q_kg_kcore,
     }
 
 
@@ -1565,6 +1581,9 @@ def oracle_sql() -> dict[str, str]:
     # against, so the graph math is checked independently of the Spark KG
     # pipeline feeding it.
     _tri = f"read_parquet('{odir}/q_kg_triples.parquet')"
+    materialized["q_kg_kcore"] = (
+        f"SELECT node, deg FROM read_parquet('{odir}/q_kg_kcore.parquet')"
+    )
     materialized["q_kg_degrees"] = f"""
         SELECT pred, obj, count(DISTINCT subj) AS n_subj
         FROM {_tri} GROUP BY pred, obj

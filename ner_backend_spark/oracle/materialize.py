@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "16"
+ORACLE_VERSION = "17"
 
 _S = pa.string()
 _L = pa.int64()
@@ -83,6 +83,10 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_kg_components": (
         "oracle_kg_components",
         pa.schema([("id", _L), ("component", _L)]),
+    ),
+    "q_kg_kcore": (
+        "oracle_kg_kcore",
+        pa.schema([("node", _S), ("deg", _L)]),
     ),
     "q_stratified_sample": (
         "oracle_stratified_sample",

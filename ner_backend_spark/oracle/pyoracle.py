@@ -805,3 +805,36 @@ def oracle_kg_triples(sf_dir: str) -> list[tuple]:
             triples.add((url, "IN_GROUP", "sparky"))
 
     return sorted(triples)
+
+
+def oracle_kg_kcore(sf_dir: str) -> list[tuple]:
+    """(node, deg) — the k=2 core of the capped co-occurrence graph,
+    peeled in plain Python over the same triples oracle_kg_triples
+    emits (cap mirrors the q_kg_cooccurrence SQL: per-subj 20
+    lexicographically-smallest objects)."""
+    triples = oracle_kg_triples(sf_dir)
+    by_subj: dict[str, set[str]] = defaultdict(set)
+    for subj, _pred, obj in triples:
+        by_subj[subj].add(obj)
+    edges: set[tuple[str, str]] = set()
+    for objs in by_subj.values():
+        capped = sorted(objs)[:20]
+        for i, a in enumerate(capped):
+            for b in capped[i + 1:]:
+                edges.add((a, b))
+    k = 2
+    while True:
+        deg: dict[str, int] = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    return sorted(deg.items())

@@ -366,3 +366,78 @@ def pmi_pairs(
         F.round(pmi, round_digits).alias("pmi"),
         F.round(npmi, round_digits).alias("npmi"),
     )
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """(node, deg): the k-core of an undirected (src, dst) edge set —
+    the maximal subgraph where every node keeps degree >= k — with each
+    surviving node's in-core degree. The standard distributed peel:
+    drop all nodes under degree k, re-count, repeat to fixpoint.
+
+    Each round is ONE degree groupBy + two semi-joins on node keys (no
+    adjacency collection anywhere); the per-round lineage cut /
+    convergence checksum follows the connected_components protocol.
+    Round count is bounded by the peel depth: dozens on real web/KG
+    graphs (degeneracy ordering collapses fast), but THETA(n/2) on the
+    adversarial path graph at k=2 — the max_iter guard raises rather
+    than silently returning a non-core, since a partial peel OVERSTATES
+    the core.
+    """
+    und = _materialize(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    cur = und
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        sym = cur.select(F.col("a").alias("node")).union(
+            cur.select(F.col("b").alias("node"))
+        )
+        keep = (
+            sym.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        checksum = _edge_checksum_ab(nxt)
+        if checksum == prev_sum:
+            converged = True
+            cur = nxt
+            break
+        prev_sum = checksum
+        cur = nxt
+    if not converged:
+        raise ValueError(
+            f"k-core peel did not converge in {max_iter} rounds"
+        )
+    sym = cur.select(F.col("a").alias("node")).union(
+        cur.select(F.col("b").alias("node"))
+    )
+    return sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def _edge_checksum_ab(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.pmod(F.xxhash64("a", "b"), F.lit(1_000_000_007)).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]

@@ -318,3 +318,48 @@ def test_pmi_pairs_matches_python(spark):
     )
     rows = {(r["obj_a"], r["obj_b"]): r for r in pmi_pairs(allp).collect()}
     assert rows[("x", "y")]["npmi"] == 1.0 and rows[("x", "y")]["pmi"] == 0.0
+
+
+def test_kcore_matches_bruteforce(spark):
+    from ner_backend_spark.spark.graph import kcore
+
+    # 4-clique (3-core) + a pendant + a triangle bridged to the clique
+    # by ONE edge (the bridge dies at k=2? no - triangle keeps deg 2)
+    edges = [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges += [("c0", "p"), ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),
+              ("c1", "t1"), ("x", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def peel(pairs, k):
+        es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in es if a in keep and b in keep}
+            if nxt == es:
+                break
+            es = nxt
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    for k in (2, 3):
+        want = peel(edges, k)
+        got = {r["node"]: r["deg"] for r in kcore(df, k=k).collect()}
+        assert got == want, (k, got, want)
+    # k=3: pendant, triangle and bridge all peel away; the clique stays
+    assert set(peel(edges, 3)) == {"c0", "c1", "c2", "c3"}
+
+
+def test_kcore_empty_result(spark):
+    from ner_backend_spark.spark.graph import kcore
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    assert kcore(path, k=2).count() == 0
