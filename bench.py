@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "q_semantic_dedup",
     "q_bm25_rank",
     "q_kg_pmi",
+    "q_pack_sequences",
+    "q_event_funnel",
+    "q_script_profile",
+    "q_readability",
 ]
 
 
