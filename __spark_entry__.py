@@ -1447,9 +1447,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": _q01_pricing_summary,
         "q_window_top_events": _q_window_top_events,
         "q_semi_join": _q_semi_join,
-        # ---- ROTATION WINDOW (positions 36-50; round 6 cohort:
-        # the round-5 operators that never had a driver row, plus the
-        # two new round-6 operators) ----
+        # ---- ROTATION WINDOW (positions 36-50; round 7 cohort per the
+        # BASELINE.md schedule: the 8 round-6 operators that never had a
+        # driver row (bm25/pmi/clustering/kcore/packing/funnel/script/
+        # readability) plus 7 of the never-driver-verified tail; the 4
+        # remaining TPC-H-ish rows (q06/q10/q_order_priority/
+        # q_promo_revenue) are the round-8 cohort) ----
+        "q_bm25_rank": _q_bm25_rank,
+        "q_kg_pmi": _q_kg_pmi,
+        "q_kg_clustering": _q_kg_clustering,
+        "q_kg_kcore": _q_kg_kcore,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_event_funnel": _q_event_funnel,
+        "q_script_profile": _q_script_profile,
+        "q_readability": _q_readability,
+        "q_curation_stats": _q_curation_stats,
+        "q_lang_id": _q_lang_id,
+        "q_quality_scores": _q_quality_scores,
+        "q_sessionize_events": _q_sessionize_events,
+        "q_events_json": _q_events_json,
+        "q_rollup_sales": _q_rollup_sales,
+        "q_anti_join": _q_anti_join,
+        # ---- driver row-cap boundary (first 50 above) ----
+        # TAIL (still parity-gated every round; rotated-out round-6
+        # cohort first, then the round-8 cohort and the rest)
         "q_kg_degrees": _q_kg_degrees,
         "q_kg_pagerank": _q_kg_pagerank,
         "q_kg_cooccurrence": _q_kg_cooccurrence,
@@ -1465,8 +1486,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": _q_jaccard_pairs,
         "q_knn_cosine": _q_knn_cosine,
         "q_source_chunks": _q_source_chunks,
-        # ---- driver row-cap boundary (first 50 above) ----
-        # TAIL (still parity-gated every round; next rotation cohort)
         "q_winnow_fingerprints": _q_winnow_fingerprints,
         "q_winnow_neardups": _q_winnow_neardups,
         "q_common_ngrams": _q_common_ngrams,
@@ -1483,24 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_nation_revenue": _q05_nation_revenue,
         "q_hourly_events": _q_hourly_events,
         "q_order_priority": _q_order_priority,
-        "q_events_json": _q_events_json,
-        "q_anti_join": _q_anti_join,
         "q06_revenue_change": _q06_revenue_change,
         "q10_returned_items": _q10_returned_items,
         "q_promo_revenue": _q_promo_revenue,
-        "q_rollup_sales": _q_rollup_sales,
-        "q_sessionize_events": _q_sessionize_events,
-        "q_quality_scores": _q_quality_scores,
-        "q_curation_stats": _q_curation_stats,
-        "q_lang_id": _q_lang_id,
-        "q_bm25_rank": _q_bm25_rank,
-        "q_kg_pmi": _q_kg_pmi,
-        "q_kg_clustering": _q_kg_clustering,
-        "q_pack_sequences": _q_pack_sequences,
-        "q_event_funnel": _q_event_funnel,
-        "q_script_profile": _q_script_profile,
-        "q_readability": _q_readability,
-        "q_kg_kcore": _q_kg_kcore,
     }
 
 
@@ -1911,8 +1915,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_token_stats": """
             SELECT doc_id,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                    END AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_computed,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -1934,8 +1939,9 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 4) AS digit_ratio,
                    round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                              x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x)))
-                         / greatest(CASE WHEN trim(text) = '' THEN 0
-                                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4)
+                         / greatest(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                                    ELSE len(regexp_split_to_array(
+                                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END, 1), 4)
                        AS stopword_ratio
             FROM documents
         """,
@@ -1948,8 +1954,9 @@ def oracle_sql() -> dict[str, str]:
                            / greatest(length(text), 1) AS digit_ratio,
                        len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                            x -> list_contains(['the','and','of','to','in','is','that','for','with','was'], x)))
-                           / greatest(CASE WHEN trim(text) = '' THEN 0
-                                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1)
+                           / greatest(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                                      ELSE len(regexp_split_to_array(
+                                          regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END, 1)
                            AS stopword_ratio
                 FROM documents
             ), gated AS (
@@ -2276,8 +2283,9 @@ def oracle_sql() -> dict[str, str]:
         "q_readability": r"""
             WITH c AS (
                 SELECT doc_id,
-                       CAST(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       CAST(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                        END AS BIGINT) AS n_words,
                        CAST(length(regexp_replace(text, '[.!?]+', '#', 'g'))
                             - length(regexp_replace(text, '[.!?]+', '', 'g'))
@@ -2299,8 +2307,9 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_sequences": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       CAST(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       CAST(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                        END AS BIGINT) AS n_tok
                 FROM documents
             ), cums AS (

@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "q_event_funnel",
     "q_script_profile",
     "q_readability",
+    # round 7: the KG consumption family surfaced so plan regressions like
+    # the round-6 unmaterialized-subplan bug (q_kg_clustering re-executing
+    # the full upstream pipeline, 62 s vs 5.6 s siblings) are visible in
+    # the driver's bench artifact, not only in parity walls
+    "q_kg_degrees",
+    "q_kg_kcore",
+    "q_kg_clustering",
 ]
 
 
@@ -188,6 +195,12 @@ def _run(cap: StderrCapture) -> dict:
             return None
 
     load_before = _loadavg()
+    # contended-run tagging (round-6 verdict #8): a loud neighbor on this
+    # shared VM inflates JVM-bound walls 3-4x; rather than refuse (the
+    # driver's per-round bench must still produce an artifact), tag the
+    # JSON so a reader never mistakes neighbor load for a code regression.
+    # Threshold 2.0: the idle baseline is <0.5 and our own warmup adds <1.
+    contended = bool(load_before and load_before[0] > 2.0)
 
     timings: dict[str, float] = {}
     spark_errors: dict[str, int] = {}
@@ -217,6 +230,7 @@ def _run(cap: StderrCapture) -> dict:
         "spark_errors_by_query": spark_errors,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "contended": contended,
     }
     spark.stop()
     return result

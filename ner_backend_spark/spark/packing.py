@@ -51,7 +51,15 @@ def pack_sequences(
         F.col(tok_col).cast("long").alias(tok_col),
         F.floor(F.col(id_col) / chunk).alias("_chunk"),
     )
-    w = Window.partitionBy("_chunk").orderBy(id_col)
+    # explicit ROWS frame: orderBy alone defaults to RANGE, which sums
+    # duplicate ids together and would desync from the oracle's ROWS
+    # frame if ids ever repeated (round-7 ADVICE; ids are unique in
+    # every current caller, this pins the semantics rather than the data)
+    w = (
+        Window.partitionBy("_chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = base.withColumn("_cum", F.sum(tok_col).over(w))
     totals = base.groupBy("_chunk").agg(F.sum(tok_col).alias("_tot"))
     wprefix = (

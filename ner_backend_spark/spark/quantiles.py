@@ -45,6 +45,16 @@ def group_quantiles(
     """
     if not ps:
         raise ValueError("ps must be non-empty")
+    # counts over the UNFILTERED input: count(value_col) excludes NULLs
+    # natively, so a group whose values are all NULL appears with _n = 0
+    # — quantile_cont emits those with a NULL quantile, and deriving the
+    # output grid from this frame re-attaches them without a third scan
+    # of the input (round-7 ADVICE on the round-6 null-filter fix)
+    counts = df.groupBy(group_col).agg(F.count(value_col).alias("_n"))
+    pdim_all = F.explode(
+        F.array(*[F.lit(float(p)) for p in ps])
+    ).alias("p")
+    all_groups = counts.select(group_col, pdim_all)
     # percentile_cont ignores NULLs; without this filter row_number()
     # would rank null rows (Spark sorts nulls first ascending) while
     # count(value_col) excludes them, desynchronizing the rank math and
@@ -54,7 +64,7 @@ def group_quantiles(
     ranked = df.select(group_col, value_col).withColumn(
         "_rn", F.row_number().over(w)
     )
-    counts = df.groupBy(group_col).agg(F.count(value_col).alias("_n"))
+    counts = counts.where(F.col("_n") > 0)
     pdim = F.explode(
         F.array(*[F.lit(float(p)) for p in ps])
     ).alias("p")
@@ -99,8 +109,13 @@ def group_quantiles(
     q = F.when(F.col("_frac") == 0.0, F.col("_lo")).otherwise(
         F.col("_lo") + F.col("_frac") * (F.col("_hi") - F.col("_lo"))
     )
-    return per_p.select(
+    computed = per_p.select(
         group_col,
         "p",
         F.round(q, out_digits).alias("q"),
+    )
+    # left-join back onto the full (group, p) grid: all-null groups get
+    # q = NULL (group-count-sized frame, broadcast-able at any scale)
+    return all_groups.join(computed, [group_col, "p"], "left").select(
+        group_col, "p", "q"
     )

@@ -112,7 +112,23 @@ def wait_for_executors(spark: SparkSession, timeout_s: float = 120.0) -> int:
             break
         prev = cur
         time.sleep(1)
-    return sc.defaultParallelism
+    got = sc.defaultParallelism
+    if expect and got < expect:
+        # under-registered cluster: proceeding silently reproduces the
+        # anti-scaling this wait exists to prevent (round-7 ADVICE) —
+        # warn loudly so the caller/bench log attributes any bad scaling
+        # number to registration, not the plan
+        import warnings
+
+        warnings.warn(
+            f"wait_for_executors: SPARK_EXPECT_CORES={expect} but only "
+            f"{got} cores registered after {timeout_s}s — proceeding "
+            "with partial parallelism; scaling measurements taken now "
+            "are invalid",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return got
 
 
 def get_spark(

@@ -28,10 +28,15 @@ STOPWORDS = {
 
 def token_count(text: Column) -> Column:
     """Whitespace-token count, matching Go strings.Fields / str.split():
-    empty text -> 0 tokens (processor.go:640-641)."""
-    trimmed = F.trim(text)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, WS + "+"))
+    empty text -> 0 tokens (processor.go:640-641).
+
+    Boundary strip is the words_expr regexp (all of WS), not F.trim
+    (spaces only) — 'words\\n' must count its words, not a phantom ''
+    boundary token (round-7 ADVICE: the same round-4 bug words_expr
+    fixed, resurfaced here)."""
+    stripped = F.regexp_replace(text, "^" + WS + "+|" + WS + "+$", "")
+    return F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, WS + "+"))
     )
 
 
@@ -683,10 +688,9 @@ def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
     punctuation-free docs score finitely instead of dividing by zero.
     """
     t = F.col(text_col)
-    trimmed = F.trim(t)
-    n_words = F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, WS + "+"))
-    ).cast("long")
+    # words census = token_count's semantics exactly (regexp boundary
+    # strip over all of WS, not F.trim's spaces-only — round-7 ADVICE)
+    n_words = token_count(t).cast("long")
     # run count = len(collapse runs to one '#') - len(remove runs)
     n_sentences = (
         F.length(F.regexp_replace(t, r"[.!?]+", "#"))

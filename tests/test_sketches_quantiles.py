@@ -239,6 +239,24 @@ def test_group_quantiles_single_row_group(spark):
     assert got[0]["q"] == 7.0
 
 
+def test_group_quantiles_all_null_group_emits_null(spark):
+    # quantile_cont/percentile_cont semantics: NULL values are ignored,
+    # but a group whose values are ALL NULL still appears in the output
+    # with a NULL quantile (round-7 ADVICE on the round-6 null filter)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("b", None)],
+        "grp string, v double",
+    )
+    got = {
+        (r["grp"], r["p"]): r["q"]
+        for r in group_quantiles(df, "grp", "v", [0.5, 1.0]).collect()
+    }
+    assert got[("a", 0.5)] == pytest.approx(2.0)
+    assert got[("a", 1.0)] == pytest.approx(3.0)
+    assert got[("b", 0.5)] is None
+    assert got[("b", 1.0)] is None
+
+
 def test_range_join_matches_bruteforce(spark):
     t0 = dt.datetime(2024, 1, 1)
     points = [

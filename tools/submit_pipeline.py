@@ -83,7 +83,12 @@ def main() -> None:
         n_pages = pages.count()
         rep_t0 = time.monotonic()
         out = run_report(pages, config)
-        n_entities = out.entities.count()
+        # materialize ONCE (localCheckpoint + the count forces it) so the
+        # --triples block below reuses these rows instead of re-running
+        # the whole NER pass inside the kg-timed window, which made
+        # kg_seconds measure NER+KG (round-7 ADVICE)
+        entities_df = out.entities.localCheckpoint(eager=False)
+        n_entities = entities_df.count()
         ner_seconds = round(time.monotonic() - rep_t0, 1)
         summary = {
             "cores": cores,
@@ -101,9 +106,7 @@ def main() -> None:
                 "surface string, canonical_id string",
             )
             kg_t0 = time.monotonic()
-            entities = run_report(pages, config).entities.select(
-                "url", "label", "text"
-            )
+            entities = entities_df.select("url", "label", "text")
             triples = build_triples(
                 entities, None, alias_df,
                 threshold=0.5, max_bucket_size=KG_MAX_BUCKET,
