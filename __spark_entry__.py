@@ -1305,20 +1305,29 @@ def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel (view -> click -> purchase) per user via
     chained min-after-timestamp aggregations — three map-side-combined
     groupBys joined on the user key (co-partitioned), never a per-user
-    event sort or collect_list. stage = furthest step reached."""
+    event sort or collect_list. stage = furthest step reached.
+
+    The level frames v and c are each consumed twice (next level's
+    probe + the final emit join), so they carry lineage cuts
+    (lazy localCheckpoint): without them the plan tree duplicates the
+    v subplan three times and c twice — six aggregates and up to six
+    events scans, only partially deduplicated by runtime exchange reuse
+    (the same unmaterialized-shared-subplan disease as VERDICT r6 #1).
+    Cut, each user-sized level computes exactly once and the events
+    table is scanned exactly three times (once per step filter)."""
     ev = _t(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
-    )
+    ).localCheckpoint(eager=False)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-    )
+    ).localCheckpoint(eager=False)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")

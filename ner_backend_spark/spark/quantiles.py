@@ -54,7 +54,12 @@ def group_quantiles(
     pdim_all = F.explode(
         F.array(*[F.lit(float(p)) for p in ps])
     ).alias("p")
-    all_groups = counts.select(group_col, pdim_all)
+    # all-null groups, carried to the output as (group, p, NULL) via a
+    # UNION branch over the (tiny) counts aggregate — a join-back would
+    # add a second sort/shuffle to the plan for a group-count-sized fixup
+    null_groups = counts.where(F.col("_n") == 0).select(
+        group_col, pdim_all, F.lit(None).cast("double").alias("q")
+    )
     # percentile_cont ignores NULLs; without this filter row_number()
     # would rank null rows (Spark sorts nulls first ascending) while
     # count(value_col) excludes them, desynchronizing the rank math and
@@ -114,8 +119,4 @@ def group_quantiles(
         "p",
         F.round(q, out_digits).alias("q"),
     )
-    # left-join back onto the full (group, p) grid: all-null groups get
-    # q = NULL (group-count-sized frame, broadcast-able at any scale)
-    return all_groups.join(computed, [group_col, "p"], "left").select(
-        group_col, "p", "q"
-    )
+    return computed.unionByName(null_groups)

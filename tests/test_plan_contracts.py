@@ -105,6 +105,87 @@ def test_bloom_filter_bits_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_pack_sequences_no_global_window(spark):
+    """The distributed prefix sum must never plan a single-partition
+    sort over the DATA: the intra-chunk window is hash-partitioned on
+    the chunk id, the only SinglePartition exchange is the chunk-TOTALS
+    prefix window (chunk-count rows, executor-sized by construction),
+    and the per-chunk offsets come back via a broadcast join. The naive
+    global window (the DuckDB oracle) plans ONE SinglePartition exchange
+    over every row — the 100-TB bottleneck this module exists to avoid."""
+    from ner_backend_spark.spark.packing import pack_sequences
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("n_tok")
+    )
+    plan = _plan(pack_sequences(docs, "doc_id", "n_tok", 512, chunk=128))
+    assert "hashpartitioning(_chunk" in plan, plan
+    # exactly one SinglePartition exchange — above the chunk totals
+    # aggregate, never above the base rows
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_funnel_levels_compute_once(spark):
+    """The chained min-after-timestamp funnel must never sort or
+    collect_list per-user event lists (a celebrity user's events must
+    not fit one task), and its level frames (v, c) carry lineage cuts:
+    without them the plan tree duplicates the v subplan three times and
+    c twice — six aggregates and six events scans, only partially
+    deduplicated by runtime exchange reuse. Cut, the final plan holds
+    exactly ONE events scan and ONE aggregate (the purchase level); the
+    view/click levels live behind checkpointed RDD scans and compute
+    exactly once each. The SMJ sorts the final emit joins plan are over
+    USER-sized level frames (linear, co-keyed), not event lists."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod._q_event_funnel(spark, "/root/testdata/sf0.001"))
+    assert plan.count("partial_min") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_single_stats_broadcast_two_scans(spark):
+    """BM25's plan: term frequencies ROW-LOCAL (zero hash exchanges —
+    the corpus is never exploded to a token table), corpus stats as ONE
+    single-partition one-row aggregate joined back via the deliberate
+    one-row broadcast cross join, and exactly the two documented scans
+    (stats pass + scoring pass; a columnar re-scan beats materializing
+    a corpus-sized token array)."""
+    from ner_backend_spark.spark.textstats import bm25_scores
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma doc "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    plan = _plan(bm25_scores(docs, "doc_id", "text", ["alpha", "gamma"]))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Sort ") == 0, plan
+    assert plan.count("Range (") == 2, plan  # the two documented scans
+
+
+def test_wedge_ops_upstream_executes_once(spark):
+    """clustering_coefficient and triangle_count must cut lineage on the
+    shared undirected edge set (VERDICT r6 #1): the final plan is rooted
+    at the checkpointed RDD, so the upstream edge plan — the full KG
+    pipeline in q_kg_clustering — appears ZERO times in the executed
+    plan instead of once per reference (which measured 62 s vs 5.6 s for
+    kcore, which cuts)."""
+    edges = spark.range(400).select(
+        (F.col("id") % 23).alias("src"), ((F.col("id") * 7) % 23).alias("dst")
+    )
+    for fn in (graph.clustering_coefficient, graph.triangle_count):
+        plan = _plan(fn(edges))
+        # the Range source must not appear: every path reads the cut RDD
+        assert plan.count("Range (") == 0, (fn.__name__, plan)
+
+
 def test_graph_pair_ops_never_nested_loop(spark):
     """The capped co-occurrence self-join, PMI joint/marginal joins, and
     the clustering-coefficient wedge join all carry an inequality
