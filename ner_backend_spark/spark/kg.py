@@ -562,6 +562,121 @@ def connected_components_hashmin(
     )
 
 
+def connected_components_peel1(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(id, component) with a one-round degree-1 pre-peel — the
+    VERDICT-r6 #5 A/B candidate.
+
+    Rationale: on mention graphs most nodes are leaves (the round-6
+    stage audit: CC round 1 carries 8.65M → 89k edges at m10), and a
+    degree-1 node can never change any other node's component label —
+    so peel them relationally BEFORE the star fixpoint, run the
+    standard alternating CC on the (much smaller) 2-core-ish remainder,
+    then re-attach:
+
+    - pendant edge (leaf—anchor): leaf inherits the anchor's label
+      (anchor's own id when the anchor lost all its core edges — a star
+      hub);
+    - leaf—leaf edge: an isolated 2-node component, label min(a, b);
+    - a final member-min relabel restores the exact "component = min
+      node id" contract (the peel may remove the true min — e.g. a
+      leaf with the smallest id in its component), two node-sized
+      shuffles.
+
+    Every step is a semi/anti join or groupBy on node keys — no
+    adjacency collection. The A/B harness is tools/cc_ab_peel.py; like
+    connected_components_hashmin this stays in-tree either way so the
+    measurement is reproducible.
+
+    A/B RESULT (round 7, CC_PEEL_AB.json): REFUTED on the m10 8.65M-edge
+    mention graph at 16 cores — peel1 31.98 s vs baseline 18.36 s
+    (0.57x), assignments identical. The peel's own cost (degree groupBy
+    over the full edge set + four semi/anti joins + the member-min
+    relabel's two shuffles) exceeds the star round it displaces: the
+    alternating-star first round already collapses 8.65M → 89k edges in
+    ONE groupBy+join pass, so there is no fat to cut. The default stays
+    connected_components.
+    """
+    base = _materialize(edges.select("src", "dst"))
+    und = _materialize(
+        base.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("node")).union(
+        und.select(F.col("b").alias("node"))
+    )
+    leaves = _materialize(
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") == 1)
+        .select("node"),
+        eager=False,
+    )
+    la = leaves.withColumnRenamed("node", "a")
+    lb = leaves.withColumnRenamed("node", "b")
+    core = und.join(la, "a", "left_anti").join(lb, "b", "left_anti")
+    pend_a = (
+        und.join(la, "a", "left_semi")
+        .join(lb, "b", "left_anti")
+        .select(F.col("a").alias("leaf"), F.col("b").alias("anchor"))
+    )
+    pend_b = (
+        und.join(la, "a", "left_anti")
+        .join(lb, "b", "left_semi")
+        .select(F.col("b").alias("leaf"), F.col("a").alias("anchor"))
+    )
+    pairs = und.join(la, "a", "left_semi").join(lb, "b", "left_semi")
+
+    comp_core = _materialize(
+        connected_components(
+            core.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            max_iter=max_iter,
+        ),
+        eager=False,
+    )
+    pend = pend_a.union(pend_b)
+    pend_lab = pend.join(
+        comp_core, pend.anchor == comp_core.id, "left"
+    ).select(
+        F.col("leaf").alias("id"),
+        F.coalesce("component", F.col("anchor")).alias("component"),
+    )
+    pair_lab = pairs.select(
+        F.col("a").alias("id"), F.col("a").alias("component")
+    ).union(
+        pairs.select(F.col("b").alias("id"), F.col("a").alias("component"))
+    )
+    # anchors that lost ALL their edges to the peel (star hubs) are in
+    # no core component — they must still appear as members of their own
+    # label or the member-min relabel below would relabel their leaves
+    # without them
+    iso_anchors = (
+        pend.select(F.col("anchor").alias("id"))
+        .distinct()
+        .join(comp_core, "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    assigned = comp_core.union(pend_lab).union(pair_lab).union(iso_anchors)
+    # member-min relabel: the peel may have removed the component's true
+    # min node, and the contract (and every downstream canonicalizer)
+    # needs component = min member id exactly
+    roots = assigned.groupBy("component").agg(F.min("id").alias("root"))
+    relabeled = assigned.join(roots, "component").select(
+        "id", F.col("root").alias("component")
+    )
+    nodes = base.select(F.col("src").alias("id")).union(
+        base.select(F.col("dst").alias("id"))
+    ).distinct()
+    return nodes.join(relabeled, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def incremental_components(
     assign: DataFrame, new_edges: DataFrame
 ) -> DataFrame:

@@ -82,6 +82,36 @@ def test_connected_components_hashmin_equivalence(spark):
         assert hm == star
 
 
+def test_connected_components_peel1_equivalence(spark):
+    # the degree-1 pre-peel variant (VERDICT r6 #5 A/B candidate) must
+    # assign the identical (id -> min-member) labeling on the peel's
+    # adversarial shapes: pendant chains (peel removes the true-min
+    # leaf), stars (anchor loses every edge), leaf-leaf pairs, isolated
+    # self-loops, and random graphs
+    import random
+
+    rng = random.Random(13)
+    cases = [
+        [(i, i + 1) for i in range(30)],                      # chain
+        [(5, i) for i in range(6, 18)] + [(50, 50)],          # star + loner
+        [(1, 2)],                                             # single pair
+        [(9, 3), (3, 4), (4, 5), (5, 3), (7, 8)],             # cycle + tails
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(90)],
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(150)],
+    ]
+    for raw in cases:
+        edges = spark.createDataFrame(raw, ["src", "dst"])
+        star = {
+            r["id"]: r["component"]
+            for r in kg.connected_components(edges).collect()
+        }
+        peeled = {
+            r["id"]: r["component"]
+            for r in kg.connected_components_peel1(edges).collect()
+        }
+        assert peeled == star, raw
+
+
 def test_lsh_blocking_proposes_similar_pairs(spark, entities):
     mentions = kg.extract_mentions(entities)
     pairs = kg.lsh_candidate_pairs(mentions, num_hashes=12, bands=6)

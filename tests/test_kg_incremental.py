@@ -200,8 +200,17 @@ def test_incremental_graph_analytics_equal_batch(spark, tmp_path, alias_df):
     the same analytics over the one-shot batch pipeline on the prefix —
     including across the batch-1 cluster merge, where canonical objects
     of batch-0 triples CHANGE (the case plain degree-delta addition
-    gets wrong)."""
-    from ner_backend_spark.spark.graph import degrees, pagerank, symmetric_edges
+    gets wrong). Round 7 extends the family to kcore and
+    clustering_coefficient (verdict r6 #6) — the wedge/peel operators
+    consume the same maintained edge set, so incremental-vs-batch
+    equality must survive them too."""
+    from ner_backend_spark.spark.graph import (
+        clustering_coefficient,
+        degrees,
+        kcore,
+        pagerank,
+        symmetric_edges,
+    )
 
     full = spark.createDataFrame(
         ENTITIES, "url string, label string, text string"
@@ -226,6 +235,23 @@ def test_incremental_graph_analytics_equal_batch(spark, tmp_path, alias_df):
             for r in pagerank(symmetric_edges(triples), iters=3).collect()
         }
 
+    def _subj_obj_edges(triples):
+        return triples.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+
+    def kcore_map(triples):
+        return {
+            r["node"]: r["deg"]
+            for r in kcore(_subj_obj_edges(triples), k=2).collect()
+        }
+
+    def lcc_map(triples):
+        return {
+            r["node"]: (r["deg"], r["n_tri"], r["lcc"])
+            for r in clustering_coefficient(_subj_obj_edges(triples)).collect()
+        }
+
     for bid, prefix in ((0, b0), (1, full)):
         inc.process_batch((b0, b1)[bid], bid)
         inc_triples = kg.triples_from_canonical(prefix, inc.canonical())
@@ -234,6 +260,8 @@ def test_incremental_graph_analytics_equal_batch(spark, tmp_path, alias_df):
         )
         assert deg_map(inc_triples) == deg_map(batch_triples), bid
         assert pr_map(inc_triples) == pr_map(batch_triples), bid
+        assert kcore_map(inc_triples) == kcore_map(batch_triples), bid
+        assert lcc_map(inc_triples) == lcc_map(batch_triples), bid
     # the merge actually exercised the non-additive path: batch-1 brought
     # u2/u3 into u1's cluster, so the ORG degree census changed shape
     final = deg_map(kg.triples_from_canonical(full, inc.canonical()))
