@@ -1401,6 +1401,37 @@ def _q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(edges)
 
 
+def _q_kg_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-neighbor Jaccard over the entity co-occurrence graph — the
+    structural entity-resolution score (merge candidates the surface-form
+    LSH can't see). Capped per-center neighbor lists bound the pair join
+    at K(K-1)/2 per center regardless of hub degree. Oracle: the same
+    capped profile/wedge arithmetic in DuckDB over the compositional
+    co-occurrence CTE."""
+    from ner_backend_spark.spark.graph import neighbor_jaccard
+
+    pairs = _q_kg_cooccurrence(spark, sf_dir)
+    edges = pairs.select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    return neighbor_jaccard(edges, max_per_node=20)
+
+
+def _q_kg_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 fixed rounds, mode
+    label with smallest-label tie-break) over the entity co-occurrence
+    graph — the lightweight community layer between connected components
+    and the PMI/clustering scores. Oracle: the identical three unrolled
+    rounds as DuckDB CTEs over the compositional co-occurrence CTE."""
+    from ner_backend_spark.spark.graph import label_propagation
+
+    pairs = _q_kg_cooccurrence(spark, sf_dir)
+    edges = pairs.select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    return label_propagation(edges, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate verifies exactly the
     # FIRST 50 entries (confirmed rounds 4+5). Positions 1-35 are a FIXED
@@ -1514,6 +1545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_revenue_change": _q06_revenue_change,
         "q10_returned_items": _q10_returned_items,
         "q_promo_revenue": _q_promo_revenue,
+        # new round-7 operators (enter the rotation window in round 8)
+        "q_kg_jaccard": _q_kg_jaccard,
+        "q_kg_labelprop": _q_kg_labelprop,
     }
 
 
@@ -1711,6 +1745,80 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS lcc
         FROM deg d LEFT JOIN ntri n USING (node)
     """
+    materialized["q_kg_jaccard"] = f"""
+        WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
+        capped AS (
+            SELECT subj, obj FROM (
+                SELECT subj, obj,
+                       row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+                FROM objs
+            ) WHERE rn <= 20
+        ),
+        und AS (
+            SELECT DISTINCT a.obj AS a, b.obj AS b
+            FROM capped a JOIN capped b
+              ON a.subj = b.subj AND a.obj < b.obj
+        ),
+        sym AS (
+            SELECT a AS node, b AS nbr FROM und
+            UNION ALL SELECT b AS node, a AS nbr FROM und
+        ),
+        cap2 AS (
+            SELECT node, nbr FROM (
+                SELECT node, nbr,
+                       row_number() OVER (PARTITION BY node ORDER BY nbr) AS rn
+                FROM sym
+            ) WHERE rn <= 20
+        ),
+        prs AS (
+            SELECT x.nbr AS u, y.nbr AS v, count(*) AS n_common
+            FROM cap2 x JOIN cap2 y
+              ON x.node = y.node AND x.nbr < y.nbr
+            GROUP BY x.nbr, y.nbr
+        ),
+        rdeg AS (SELECT nbr, count(*) AS rd FROM cap2 GROUP BY nbr)
+        SELECT u AS node_a, v AS node_b, n_common,
+               round(CAST(n_common AS DOUBLE)
+                     / CAST(ra.rd + rb.rd - n_common AS DOUBLE), 6) AS jaccard
+        FROM prs
+        JOIN rdeg ra ON ra.nbr = u
+        JOIN rdeg rb ON rb.nbr = v
+    """
+    _lpa_iter = """
+        c{i} AS (SELECT a.node, l.label, count(*) AS c
+                 FROM adj a JOIN l{p} l ON a.nbr = l.id
+                 GROUP BY a.node, l.label),
+        l{i} AS (SELECT node AS id, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (
+                                PARTITION BY node
+                                ORDER BY c DESC, label ASC) AS rn
+                     FROM c{i}) WHERE rn = 1)"""
+    materialized["q_kg_labelprop"] = (
+        f"""
+        WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
+        capped AS (
+            SELECT subj, obj FROM (
+                SELECT subj, obj,
+                       row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+                FROM objs
+            ) WHERE rn <= 20
+        ),
+        und AS (
+            SELECT DISTINCT a.obj AS a, b.obj AS b
+            FROM capped a JOIN capped b
+              ON a.subj = b.subj AND a.obj < b.obj
+        ),
+        adj AS (
+            SELECT a AS node, b AS nbr FROM und
+            UNION ALL SELECT b AS node, a AS nbr FROM und
+        ),
+        l0 AS (SELECT DISTINCT node AS id, node AS label FROM adj),"""
+        + ",".join(_lpa_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT id AS node, label FROM l3
+    """
+    )
     materialized["q_kg_triangles"] = f"""
         WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
         capped AS (

@@ -377,6 +377,85 @@ def pmi_pairs(
     )
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    max_per_node: int = 20,
+    min_common: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(node_a, node_b, n_common, jaccard): structural similarity of
+    entity pairs by shared graph context — the entity-resolution scoring
+    primitive over an undirected (src, dst) edge set (two canonical
+    entities whose neighborhoods overlap heavily are merge candidates
+    the surface-form LSH blocking cannot see).
+
+    Semantics (deterministic, oracle-mirrored): each node's neighbor
+    list is capped at its ``max_per_node`` id-smallest neighbors; a
+    node's PROFILE is the set of centers that list it, n_common(u, v) is
+    the number of centers listing both, and
+
+        jaccard = n_common / (|profile(u)| + |profile(v)| − n_common).
+
+    Scale shape: the only pair-producing operation is the capped
+    self-join on the center key — at most K(K−1)/2 pairs per center
+    regardless of hub degree (the cooccurring_pairs bound); profiles
+    are counted with one map-side-combined groupBy and joined back onto
+    the pair table by plain node keys. A celebrity entity can be LISTED
+    by many centers (a large profile — just a count), but never explodes
+    a join. No adjacency list is ever collected.
+    """
+    und = _materialize(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    w = Window.partitionBy("node").orderBy("nbr")
+    capped = _materialize(
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_per_node)
+        .select("node", "nbr"),
+        eager=False,
+    )
+    x = capped.alias("x")
+    y = capped.alias("y")
+    pairs = (
+        x.join(
+            y,
+            on=[
+                F.col("x.node") == F.col("y.node"),
+                F.col("x.nbr") < F.col("y.nbr"),
+            ],
+        )
+        .select(F.col("x.nbr").alias("u"), F.col("y.nbr").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    rdeg = capped.groupBy("nbr").agg(F.count(F.lit(1)).alias("rd"))
+    ra = rdeg.select(F.col("nbr").alias("u"), F.col("rd").alias("rd_a"))
+    rb = rdeg.select(F.col("nbr").alias("v"), F.col("rd").alias("rd_b"))
+    j = F.col("n_common").cast("double") / (
+        F.col("rd_a") + F.col("rd_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        pairs.join(ra, "u")
+        .join(rb, "v")
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            "n_common",
+            F.round(j, round_digits).alias("jaccard"),
+        )
+    )
+
+
 def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     """(node, deg): the k-core of an undirected (src, dst) edge set —
     the maximal subgraph where every node keeps degree >= k — with each
@@ -435,6 +514,64 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         cur.select(F.col("b").alias("node"))
     )
     return sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, label): synchronous label propagation communities over an
+    undirected (src, dst) edge set — the lightweight community detector
+    for entity-cluster exploration (coarser than connected components,
+    cheaper than modularity methods; Raghavan et al. 2007).
+
+    Deterministic variant (the property the DuckDB oracle needs): labels
+    seed as the node id; each of the FIXED ``iters`` synchronous rounds
+    re-labels every node with the MODE of its neighbors' labels, ties
+    broken by the smallest label. Fixed iteration count — not
+    convergence detection — keeps the result a pure function of the
+    input (the pagerank discipline; sync LPA can 2-cycle on bipartite
+    structures, so a convergence loop would not terminate there anyway).
+
+    Plan shape per round: one co-partitioned edge⋈label join, one
+    (node, label) count aggregate, one window top-1 per node — all keyed
+    on node ids; label state is node-sized, never edge-sized. Lineage is
+    cut per round (lazy localCheckpoint) so the plan stays O(1) deep.
+    The edge table is hash-partitioned once and reused every round.
+    """
+    sym = _materialize(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct(),
+        eager=False,
+    )
+    adj = _materialize(
+        sym.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(sym.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("nbr"),
+        eager=False,
+    )
+    labels = adj.select(F.col("node").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        neigh = adj.join(labels, adj.nbr == labels.id).select(
+            "node", "label"
+        )
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node").alias("id"), "label")
+        )
+        labels = _materialize(labels, eager=False)
+    return labels.select(F.col("id").alias("node"), "label")
 
 
 def _edge_checksum_ab(edges: DataFrame) -> tuple[int, int]:

@@ -363,3 +363,91 @@ def test_kcore_empty_result(spark):
         [("a", "b"), ("b", "c")], "src string, dst string"
     )
     assert kcore(path, k=2).count() == 0
+
+
+def test_neighbor_jaccard_hand_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4; capped lists are the full lists.
+    # profiles (centers listing x): 1<-{2,3}, 2<-{1,3}, 3<-{1,2,4}, 4<-{3}
+    from ner_backend_spark.spark.graph import neighbor_jaccard
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["jaccard"])
+        for r in neighbor_jaccard(df, max_per_node=20).collect()
+    }
+    assert got == {
+        (1, 2): (1, 0.333333),  # round(1/3, 6)
+        (1, 3): (1, 0.25),
+        (2, 3): (1, 0.25),
+        (1, 4): (1, 0.5),
+        (2, 4): (1, 0.5),
+    }, got
+
+
+def test_neighbor_jaccard_cap_bounds_hub(spark):
+    # a 100-leaf star: capped at K=5 the center's list is its 5 smallest
+    # leaves, so pair output is bounded at K(K-1)/2 = 10 rows — never
+    # deg(hub)^2/2 = 4950
+    from ner_backend_spark.spark.graph import neighbor_jaccard
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 101)], "src long, dst long"
+    )
+    rows = neighbor_jaccard(star, max_per_node=5).collect()
+    assert len(rows) == 10
+    # every pair: both leaves listed only by the hub -> jaccard 1.0
+    assert all(r["jaccard"] == 1.0 and r["n_common"] == 1 for r in rows)
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # two 4-cliques joined by one bridge edge: after 3 sync rounds each
+    # clique converges to its min member's label (mode with smallest-
+    # label tie-break), bridge notwithstanding
+    from ner_backend_spark.spark.graph import label_propagation
+
+    cliq1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        cliq1 + cliq2 + [(3, 10)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(11, 14)} == {10}
+
+
+def test_label_propagation_matches_pure_python(spark):
+    # random graph vs a literal single-threaded reimplementation of the
+    # documented semantics (mode over neighbor labels, min tie-break,
+    # fixed sync rounds)
+    import random
+    from collections import Counter
+
+    from ner_backend_spark.spark.graph import label_propagation
+
+    rng = random.Random(99)
+    raw = {(rng.randrange(40), rng.randrange(40)) for _ in range(80)}
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            top = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+
+    edges = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert got == labels
