@@ -775,6 +775,42 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors compress to
+    n_blocks bytes of per-block codebook codes; queries rank the WHOLE
+    corpus by ADC table lookups — the linear-scan regime between the exact
+    q_knn_cosine baseline and the pruning q_lsh_ann/q_ivf_ann indexes.
+    Oracle: the bit-exact pure-numpy mirror (same sample, same Lloyd, same
+    GEMV shapes, same tie-breaks), materialized."""
+    from ner_backend_spark.flagship import PQ_ANN
+    from ner_backend_spark.spark.similarity import pq_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(
+        emb,
+        dim=PQ_ANN["dim"],
+        n_blocks=PQ_ANN["n_blocks"],
+        n_codes=PQ_ANN["n_codes"],
+        kmeans_iters=PQ_ANN["kmeans_iters"],
+        sample_size=PQ_ANN["sample_size"],
+    )
+    return pq_topk(
+        emb, books, k=PQ_ANN["k"], n_queries=PQ_ANN["n_queries"]
+    ).select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster census: connected components over the MinHash
+    near-dup PAIR graph (transitive closure — keep-one-per-cluster needs
+    components, not pairs), with per-doc cluster id, size, and the
+    canonical survivor flag. Oracle: union-find over the same materialized
+    pair oracle."""
+    from ner_backend_spark.spark.dedup import dup_clusters
+
+    pairs = _q_minhash_neardups(spark, sf_dir)
+    return dup_clusters(pairs)
+
+
 def _q_crf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CNN+CRF tagger path (tokenize -> emissions -> Viterbi -> word spans)
     batched in the same Arrow mapInPandas kernel as the other models."""
@@ -1548,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-7 operators (enter the rotation window in round 8)
         "q_kg_jaccard": _q_kg_jaccard,
         "q_kg_labelprop": _q_kg_labelprop,
+        "q_pq_ann": _q_pq_ann,
+        "q_dup_clusters": _q_dup_clusters,
     }
 
 
@@ -1599,6 +1637,8 @@ def oracle_sql() -> dict[str, str]:
             "q_simhash_neardups",
             "q_lsh_ann",
             "q_ivf_ann",
+            "q_pq_ann",
+            "q_dup_clusters",
             "q_embedding_neardup_lsh",
             "q_kg_triples",
             "q_kg_components",

@@ -58,6 +58,13 @@ SEMANTIC_DEDUP = dict(
     dim=64, n_centroids=16, threshold=0.3, kmeans_iters=5,
     max_cluster_size=4096,
 )
+# Product quantization (similarity.pq_codebooks/pq_encode/pq_topk):
+# dim 64 -> 4 blocks x 16 codes = 4 bytes/vector; k/n_queries follow the
+# q_lsh_ann/q_ivf_ann gate conventions (queries = lowest 10 ids).
+PQ_ANN = dict(
+    dim=64, n_blocks=4, n_codes=16, kmeans_iters=5, sample_size=4096,
+    k=10, n_queries=10,
+)
 # Bloom-filter decontamination (dedup.bloom_decontaminate): the membership-
 # sketch variant of q_decontaminate. The inline DuckDB oracle mirrors the
 # md5 bit math 1:1, so false positives are deterministic and identical.

@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "17"
+ORACLE_VERSION = "18"
 
 _S = pa.string()
 _L = pa.int64()
@@ -150,6 +150,21 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_semantic_dedup": (
         "oracle_semantic_dedup",
         pa.schema([("id", _L), ("cid", _L), ("is_dup", pa.bool_())]),
+    ),
+    "q_pq_ann": (
+        "oracle_pq_ann",
+        pa.schema([("query_id", _L), ("neighbor_id", _L), ("rnk", _L)]),
+    ),
+    "q_dup_clusters": (
+        "oracle_dup_clusters",
+        pa.schema(
+            [
+                ("doc_id", _L),
+                ("cluster_id", _L),
+                ("cluster_size", _L),
+                ("is_kept", pa.bool_()),
+            ]
+        ),
     ),
     "q_task_rollup": (
         "oracle_task_rollup",

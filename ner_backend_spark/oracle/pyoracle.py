@@ -838,3 +838,67 @@ def oracle_kg_kcore(sf_dir: str) -> list[tuple]:
         deg[a] += 1
         deg[b] += 1
     return sorted(deg.items())
+
+
+def oracle_pq_ann(sf_dir: str) -> list[tuple]:
+    """(query_id, neighbor_id, rnk): product-quantization ADC top-k,
+    mirroring similarity.pq_codebooks (id-ordered sample, per-block L2
+    Lloyd) + pq_encode (dot-minus-half-norm argmax GEMV) + pq_topk
+    (LUT-sum / |x̂| scores, ties -> lowest neighbor id) bit-exactly — the
+    same numpy calls in the same shapes."""
+    from ..spark.similarity import _pq_encode_np, _pq_train
+
+    p = flagship.PQ_ANN
+    vecs = {int(i): v for i, v in load_embeddings(sf_dir)}
+    sample_ids = sorted(vecs)[: p["sample_size"]]
+    X = np.array([vecs[i] for i in sample_ids], dtype=np.float64)
+    books = _pq_train(X, p["n_blocks"], p["n_codes"], p["kmeans_iters"])
+    biases = 0.5 * (books**2).sum(axis=2)
+    norm2 = (books**2).sum(axis=2)
+    n_blocks, _, ds = books.shape
+    b_idx = np.arange(n_blocks)
+
+    codes = {
+        vid: _pq_encode_np(np.asarray(vec, dtype=np.float64), books, biases)
+        for vid, vec in vecs.items()
+    }
+    out = []
+    for qid in sorted(i for i in vecs if i < p["n_queries"]):
+        qv = np.asarray(vecs[qid], dtype=np.float64)
+        lut = np.stack(
+            [books[b] @ qv[b * ds:(b + 1) * ds] for b in range(n_blocks)]
+        )
+        scored = []
+        for nid, cd in codes.items():
+            if nid == qid:
+                continue
+            n2 = norm2[b_idx, cd].sum()
+            s = lut[b_idx, cd].sum() / np.sqrt(n2) if n2 > 0.0 else 0.0
+            scored.append((float(s), nid))
+        scored.sort(key=lambda sn: (-sn[0], sn[1]))
+        for rank, (_, nid) in enumerate(scored[: p["k"]], start=1):
+            out.append((qid, nid, rank))
+    return out
+
+
+def oracle_dup_clusters(sf_dir: str) -> list[tuple]:
+    """(doc_id, cluster_id, cluster_size, is_kept): union-find transitive
+    closure over the SAME minhash near-dup pairs oracle_minhash_neardups
+    emits — cluster_id = min doc_id in the component, exactly the
+    alternating-star CC's label choice."""
+    pairs = oracle_minhash_neardups(sf_dir)
+    uf = _UnionFind()
+    nodes: set[int] = set()
+    for id_a, id_b, _ in pairs:
+        uf.union(int(id_a), int(id_b))
+        nodes.add(int(id_a))
+        nodes.add(int(id_b))
+    by_root: dict[int, list[int]] = defaultdict(list)
+    for n in nodes:
+        by_root[uf.find(n)].append(n)
+    out = []
+    for root, members in by_root.items():
+        cid = min(members)
+        for m in members:
+            out.append((m, cid, len(members), m == cid))
+    return sorted(out)

@@ -955,3 +955,38 @@ def simhash_near_duplicates(
         .cast("long")
         .alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_kept): duplicate-cluster census
+    over a near-duplicate PAIR table — the curation telemetry layer above
+    every pairwise dedup operator (a corpus with ten 5,000-doc mirror
+    clusters and a corpus with 25,000 isolated pairs have the same pair
+    count but very different dedup payoffs; keep-one-per-cluster needs the
+    transitive closure, not the pairs).
+
+    cluster_id is the smallest doc_id in the connected component of the
+    pair graph (the same alternating-star fixpoint the KG canonicalizer
+    runs — O(log n) rounds, per-round lineage cuts, never a driver-side
+    graph); is_kept marks the canonical survivor. Only docs appearing in
+    at least one pair are emitted — every other doc is trivially its own
+    kept singleton, and at 100 TB the pair graph is orders of magnitude
+    smaller than the corpus, which is exactly why the closure runs on it
+    rather than on the corpus.
+    """
+    from .kg import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_kept"),
+        )
+    )

@@ -19,7 +19,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def _cosine(col_a, col_b):
@@ -582,4 +589,224 @@ def semantic_dedup(
             F.col("cid"),
             F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
         )
+    )
+
+
+def _pq_train(X: np.ndarray, n_blocks: int, n_codes: int, iters: int) -> np.ndarray:
+    """(n_blocks, n_codes, dim/n_blocks) product-quantization codebooks:
+    per-block L2 Lloyd over the training sample (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    Deterministic: codewords seed from the first ``n_codes`` sample rows'
+    subvectors (the sample itself is the id-ordered deterministic sample of
+    pq_codebooks), mean updates in float64, empty cells keep their previous
+    codeword, argmin ties resolve to the lowest code. Pure numpy so the
+    python oracle reproduces the codebooks bit-exactly from the same rows.
+    """
+    d = X.shape[1]
+    ds = d // n_blocks
+    books = []
+    for b in range(n_blocks):
+        Xb = X[:, b * ds:(b + 1) * ds]
+        cents = Xb[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((Xb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = Xb[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books.append(cents)
+    return np.stack(books)
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    n_blocks: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 5,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Train PQ codebooks on the deterministic id-ordered sample (the
+    train_centroids convention: ``sample_size`` lowest ids — bounded driver
+    work at any corpus size; at web scale substitute a hash-sampled
+    fraction without changing the operator shape)."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["vec"] for r in rows], dtype=np.float64)
+    return _pq_train(X, n_blocks, n_codes, kmeans_iters)
+
+
+def _pq_encode_np(x: np.ndarray, books: np.ndarray, biases: np.ndarray) -> np.ndarray:
+    """Per-row PQ codes: for each block, argmax(codebook @ sub − bias) —
+    the dot-minus-half-norm form of L2 argmin (same fixed-shape GEMV as
+    the python oracle, so codes are bit-identical)."""
+    n_blocks, _, ds = books.shape
+    codes = np.empty(n_blocks, dtype=np.int32)
+    for b in range(n_blocks):
+        sub = x[b * ds:(b + 1) * ds]
+        codes[b] = int((books[b] @ sub - biases[b]).argmax())
+    return codes
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to one small code per
+    block — dim*4 bytes down to n_blocks bytes per vector. At 100 TB the
+    codes table (id + a few bytes) is what ships to every ANN consumer;
+    the raw vectors are scanned exactly once, here. Arrow numpy kernel
+    (see lsh_bucket_ids on why per-corpus-row linear algebra is not a JVM
+    higher-order function)."""
+    books = np.asarray(books, dtype=np.float64)
+    biases = 0.5 * (books ** 2).sum(axis=2)
+    n_blocks = books.shape[0]
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty((len(pdf), n_blocks), dtype=np.int32)
+            for r, vec in enumerate(pdf["vec"].values):
+                out[r] = _pq_encode_np(
+                    np.asarray(vec, dtype=np.float64), books, biases
+                )
+            yield pd.DataFrame({"id": pdf["id"].values, "codes": list(out)})
+
+    from .session import ensure_parallelism
+
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    return ensure_parallelism(vecs).mapInPandas(run, schema)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk_buckets: int = 32,
+) -> DataFrame:
+    """(query_id, neighbor_id, rnk): asymmetric-distance (ADC) top-k — each
+    query ranks the WHOLE corpus by table lookups over its PQ codes, the
+    linear-scan regime product quantization exists for (IVF prunes cells;
+    PQ makes the residual scan ~n_blocks adds per vector).
+
+    Queries are the ``n_queries`` lowest ids (the q_lsh_ann/q_ivf_ann
+    convention); their dim-sized lookup tables are built driver-side from
+    one bounded collect and closed over by the scoring kernel — broadcast-
+    sized state (n_queries * dim floats), never a shuffle. Scoring emits
+    (query, neighbor, score) with score = LUT-sum / |x̂| (|q| is constant
+    per query and cannot change its ranking); the top-k runs TWO-LEVEL —
+    per (query, hash-bucket) row_number first, then the global k over
+    ≤ buckets*k survivors — so no single reducer ever sorts the corpus.
+    Exact w.r.t. the score order because every global top-k row is top-k
+    in its own bucket; ties break on neighbor_id on both engines.
+    """
+    books = np.asarray(books, dtype=np.float64)
+    biases = 0.5 * (books ** 2).sum(axis=2)
+    n_blocks, n_codes, ds = books.shape
+    norm2 = (books ** 2).sum(axis=2)  # (n_blocks, n_codes)
+
+    q_rows = (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .filter(F.col("id") < n_queries)
+        .collect()
+    )
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    # lut[q][b, c] = q_sub(b) · codeword(b, c) — the same (n_codes, ds) GEMV
+    # shape the oracle computes, so every float is bit-identical
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    books[b]
+                    @ np.asarray(r["vec"], dtype=np.float64)[b * ds:(b + 1) * ds]
+                    for b in range(n_blocks)
+                ]
+            )
+            for r in q_rows
+        ]
+    )
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("score", DoubleType(), False),
+        ]
+    )
+    b_idx = np.arange(n_blocks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nq = len(q_ids)
+            n = len(pdf)
+            scores = np.empty((n, nq), dtype=np.float64)
+            for r, vec in enumerate(pdf["vec"].values):
+                codes = _pq_encode_np(
+                    np.asarray(vec, dtype=np.float64), books, biases
+                )
+                n2 = norm2[b_idx, codes].sum()
+                ip = luts[:, b_idx, codes].sum(axis=1)  # (nq,)
+                scores[r] = ip / np.sqrt(n2) if n2 > 0.0 else 0.0
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf["id"].values, nq),
+                    "score": scores.reshape(-1),
+                }
+            )
+
+    from .session import ensure_parallelism
+
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    scored = (
+        ensure_parallelism(vecs)
+        .mapInPandas(run, schema)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.hash("neighbor_id"), F.lit(topk_buckets))
+    ).orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("prnk", F.row_number().over(w1))
+        .filter(F.col("prnk") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
     )

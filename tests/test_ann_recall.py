@@ -106,3 +106,56 @@ def test_multiprobe_floor_on_uniform(spark):
     r0 = len(h0 & exact) / len(exact)
     r1 = len(h1 & exact) / len(exact)
     assert r1 >= max(2 * r0, 0.25), (r0, r1)
+
+
+def test_pq_adc_recall_on_clustered(clustered):
+    from ner_backend_spark.spark.similarity import pq_codebooks, pq_topk
+
+    exact = _pairs(
+        brute_force_topk(clustered, clustered.filter(F.col("vec_id") < 10), k=5)
+    )
+    books = pq_codebooks(clustered, dim=DIM, n_blocks=4, n_codes=16)
+    pq = _pairs(pq_topk(clustered, books, k=5, n_queries=10))
+    # PQ's contract on tight clusters is CLUSTER retrieval, not exact-rank
+    # recall: 4x16 codes collapse same-cluster members onto near-identical
+    # codewords, so which of 20 interchangeable siblings ranks 1st vs 6th
+    # is quantization noise (measured exact-rank recall ~0.36 here, and
+    # that is correct PQ behavior per Jégou et al. — ADC ranks cells, the
+    # exact within-cell order needs a re-rank pass). Assert what the code
+    # must get right: every retrieved neighbor comes from the query's own
+    # cluster (cluster of vec i is i % 20), and a non-trivial floor of the
+    # exact set still surfaces.
+    same_cluster = sum(1 for q, n in pq if q % 20 == n % 20) / len(pq)
+    assert same_cluster >= 0.95, same_cluster
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.2, recall
+
+
+def test_pq_encode_matches_numpy_mirror(clustered):
+    from ner_backend_spark.spark.similarity import (
+        _pq_encode_np,
+        _pq_train,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(clustered, dim=DIM, n_blocks=4, n_codes=16)
+    got = {
+        r["id"]: list(r["codes"])
+        for r in pq_encode(clustered, books).collect()
+    }
+    rows = clustered.orderBy("vec_id").collect()
+    # codebooks themselves must be reproducible from the same sample rows
+    X = np.array(
+        [r["embedding"] for r in rows[:4096]], dtype=np.float64
+    )
+    books2 = _pq_train(X, 4, 16, 5)
+    assert np.array_equal(books, books2)
+    biases = 0.5 * (books**2).sum(axis=2)
+    for r in rows:
+        want = _pq_encode_np(
+            np.asarray(r["embedding"], dtype=np.float64), books, biases
+        )
+        assert got[r["vec_id"]] == list(want), r["vec_id"]
+    # every code in range
+    assert all(0 <= c < 16 for cs in got.values() for c in cs)

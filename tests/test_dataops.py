@@ -725,3 +725,22 @@ def test_bm25_matches_python_replica(spark, docs):
         assert abs(out[i]["bm25"] - round(score, 6)) < 2e-6, i
     # ranking sanity: docs containing the rare term outrank those without
     assert out[4]["bm25"] > out[3]["bm25"]  # 'quartz' only in doc 4
+
+
+def test_dup_clusters_transitive_closure(spark):
+    # pair graph: {1-2, 2-3} one chain-cluster of 3; {10-11} a pair;
+    # transitivity matters — (1,3) is never a pair but shares 1's cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_kept"])
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, 3, True),
+        2: (1, 3, False),
+        3: (1, 3, False),
+        10: (10, 2, True),
+        11: (10, 2, False),
+    }, got
