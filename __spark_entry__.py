@@ -1468,6 +1468,58 @@ def _q_kg_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iters=3)
 
 
+def _q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 truss of the entity co-occurrence graph (every surviving edge
+    closes >= 1 triangle within the truss) with per-edge in-truss
+    support — the edge-cohesion complement of q_kg_kcore (degree can be
+    inflated by a star; triangle support cannot). Iterative peel, one
+    degree-oriented wedge support count per round, CC-style lineage
+    cuts + convergence checksum; max_iter raises rather than overstating
+    the truss. Oracle: the same peel in pure Python over the
+    materialized triples table."""
+    from ner_backend_spark.spark.graph import truss
+
+    pairs = _q_kg_cooccurrence(spark, sf_dir)
+    edges = pairs.select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    out = truss(edges, k=3)
+    return out.select(
+        "node_a", "node_b", F.col("support").cast("long").alias("support")
+    )
+
+
+def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random-walk-with-restart relevance around a
+    seed set) over the undirected subj—obj graph: 3 fixed power
+    iterations, teleport mass split over the 2 smallest node ids (the
+    deterministic lowest-ids seed convention). Oracle: the identical
+    unrolled update as chained CTEs over the q_kg_triples oracle table,
+    with the seed CTE selecting the same 2 smallest ids."""
+    from ner_backend_spark.spark.graph import (
+        personalized_pagerank,
+        symmetric_edges,
+    )
+
+    ranks = personalized_pagerank(
+        symmetric_edges(_q_kg_triples(spark, sf_dir)), n_seeds=2, iters=3
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixing allocation: one corpus scan into a
+    map-side-combined groupBy(source), then temperature-0.5 reweighted
+    target mixture + oversampling boost on the source-cardinality frame
+    (broadcast one-row totals, never a corpus shuffle). The static-mix
+    step a multi-source 100 TB training run materializes before
+    sampling. Oracle: the identical share/pow/normalize arithmetic
+    inline in DuckDB."""
+    from ner_backend_spark.spark.sampling import source_mix
+
+    return source_mix(_t(spark, sf_dir, "documents"), temperature=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate verifies exactly the
     # FIRST 50 entries (confirmed rounds 4+5). Positions 1-35 are a FIXED
@@ -1586,6 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_labelprop": _q_kg_labelprop,
         "q_pq_ann": _q_pq_ann,
         "q_dup_clusters": _q_dup_clusters,
+        "q_kg_truss": _q_kg_truss,
+        "q_kg_ppr": _q_kg_ppr,
+        "q_source_mix": _q_source_mix,
     }
 
 
@@ -1671,6 +1726,10 @@ def oracle_sql() -> dict[str, str]:
     materialized["q_kg_kcore"] = (
         f"SELECT node, deg FROM read_parquet('{odir}/q_kg_kcore.parquet')"
     )
+    materialized["q_kg_truss"] = (
+        "SELECT node_a, node_b, support "
+        f"FROM read_parquet('{odir}/q_kg_truss.parquet')"
+    )
     materialized["q_kg_degrees"] = f"""
         SELECT pred, obj, count(DISTINCT subj) AS n_subj
         FROM {_tri} GROUP BY pred, obj
@@ -1699,6 +1758,42 @@ def oracle_sql() -> dict[str, str]:
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
         + ",".join(_pr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT id AS node, round(rank, 6) AS rank FROM r3
+    """
+    )
+    # Personalized PageRank: the identical unrolled update, but the
+    # teleport mass is split over the 2 smallest node ids (the seeds CTE
+    # mirrors graph.personalized_pagerank's lowest-ids convention) —
+    # (1.0 - 0.85) is written as the same double subtraction Spark folds,
+    # and r0 = tele so iteration arithmetic is operand-identical.
+    _ppr_iter = """
+        c{i} AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c
+                 FROM edges e
+                 JOIN r{p} r ON e.src = r.id
+                 JOIN deg d ON e.src = d.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT tele.id,
+                        (1.0 - 0.85) * tele.t + 0.85 * coalesce(c{i}.c, 0.0)
+                            AS rank
+                 FROM tele
+                 LEFT JOIN c{i} ON tele.id = c{i}.id)"""
+    materialized["q_kg_ppr"] = (
+        f"""
+        WITH e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM {_tri}),
+        edges AS (SELECT src, dst FROM e0
+                  UNION SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 2),
+        ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+        tele AS (SELECT nodes.id,
+                        CASE WHEN seeds.id IS NOT NULL THEN 1.0 / ns.n
+                             ELSE 0.0 END AS t
+                 FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id
+                 CROSS JOIN ns),
+        r0 AS (SELECT id, t AS rank FROM tele),"""
+        + ",".join(_ppr_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
         + """
         SELECT id AS node, round(rank, 6) AS rank FROM r3
     """
@@ -2069,6 +2164,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE (label = 'kw_scan' AND text LIKE '%scan%')
               AND ((SELECT count(*) FROM ents e2 WHERE e2.label = 'kw_spark') > 0
                    OR (label = 'kw_j' AND text = 'join'))
+        """,
+        # per-source mixing allocation: token counts mirror q_token_stats'
+        # boundary-stripped whitespace split; shares/pow/normalize are the
+        # same double ops in the same order as sampling.source_mix, with
+        # round(6) absorbing FP-summation-order ULPs (the pagerank rule)
+        "q_source_mix": """
+            WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       END) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+            shared AS (
+                SELECT per.*, CAST(n_tokens AS DOUBLE) / tot.t AS share
+                FROM per CROSS JOIN tot
+            ),
+            z AS (SELECT sum(pow(share, 0.5)) AS z FROM shared)
+            SELECT source, n_docs, n_tokens,
+                   round(share, 6) AS token_share,
+                   round(pow(share, 0.5) / z.z, 6) AS target_weight,
+                   round((pow(share, 0.5) / z.z) / share, 6) AS boost
+            FROM shared CROSS JOIN z
         """,
         "q_token_stats": """
             SELECT doc_id,

@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     "q_kg_degrees",
     "q_kg_kcore",
     "q_kg_clustering",
+    # round 7 operators: PQ-ADC ANN, pair-graph duplicate clusters, k-truss
+    # (iterative edge peel — the round cost is the watched number), and the
+    # per-source mixing allocation (single-scan groupBy)
+    "q_pq_ann",
+    "q_dup_clusters",
+    "q_kg_truss",
+    "q_source_mix",
 ]
 
 

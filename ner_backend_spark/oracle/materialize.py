@@ -20,7 +20,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-ORACLE_VERSION = "18"
+ORACLE_VERSION = "19"
 
 _S = pa.string()
 _L = pa.int64()
@@ -154,6 +154,10 @@ TABLES: dict[str, tuple[str, pa.Schema]] = {
     "q_pq_ann": (
         "oracle_pq_ann",
         pa.schema([("query_id", _L), ("neighbor_id", _L), ("rnk", _L)]),
+    ),
+    "q_kg_truss": (
+        "oracle_kg_truss",
+        pa.schema([("node_a", _S), ("node_b", _S), ("support", _L)]),
     ),
     "q_dup_clusters": (
         "oracle_dup_clusters",

@@ -840,6 +840,38 @@ def oracle_kg_kcore(sf_dir: str) -> list[tuple]:
     return sorted(deg.items())
 
 
+def oracle_kg_truss(sf_dir: str) -> list[tuple]:
+    """(node_a, node_b, support) — the k=3 truss of the capped
+    co-occurrence graph (every edge closes >= 1 triangle within the
+    truss), peeled in plain Python over the same triples
+    oracle_kg_triples emits; support is the in-truss triangle count at
+    the fixpoint (cap mirrors the q_kg_cooccurrence SQL: per-subj 20
+    lexicographically-smallest objects)."""
+    triples = oracle_kg_triples(sf_dir)
+    by_subj: dict[str, set[str]] = defaultdict(set)
+    for subj, _pred, obj in triples:
+        by_subj[subj].add(obj)
+    edges: set[tuple[str, str]] = set()
+    for objs in by_subj.values():
+        capped = sorted(objs)[:20]
+        for i, a in enumerate(capped):
+            for b in capped[i + 1:]:
+                edges.add((a, b))
+    k = 3
+    sup: dict[tuple[str, str], int] = {}
+    while True:
+        adj: dict[str, set[str]] = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        nxt = {e for e in edges if sup[e] >= k - 2}
+        if nxt == edges:
+            break
+        edges = nxt
+    return sorted((a, b, sup[(a, b)]) for a, b in edges)
+
+
 def oracle_pq_ann(sf_dir: str) -> list[tuple]:
     """(query_id, neighbor_id, rnk): product-quantization ADC top-k,
     mirroring similarity.pq_codebooks (id-ordered sample, per-block L2

@@ -516,6 +516,193 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     return sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
 
+def _edge_support(cur: DataFrame) -> DataFrame:
+    """(ea, eb, support): per-edge triangle count over an undirected,
+    deduplicated (a, b) a<b edge set — the k-truss round primitive.
+
+    Degree-oriented wedge enumeration (the triangle_count machinery,
+    recomputed per peel round because orientation degrees change as
+    edges drop): every node's oriented out-degree is O(sqrt(m)), so the
+    wedge join emits O(m^1.5) rows independent of hub degree. Each
+    triangle found exactly once, then credited to ALL THREE of its edges
+    via one explode (never a 3-branch re-join); support is one
+    map-side-combined groupBy on edge keys. Only edges in >= 1 triangle
+    appear — callers coalesce the rest to 0.
+    """
+    sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("a").alias("node"), "deg"
+    )
+    d1 = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    d2 = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = cur.join(d1, "a").join(d2, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    wedges = x.join(
+        y,
+        on=[F.col("x.lo") == F.col("y.lo"), F.col("x.hi") < F.col("y.hi")],
+    ).select(
+        F.col("x.lo").alias("lo"),
+        F.col("x.hi").alias("u"),
+        F.col("y.hi").alias("v"),
+    )
+    tris = wedges.join(
+        cur.select(F.col("a").alias("u"), F.col("b").alias("v")), ["u", "v"]
+    )
+    edges3 = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("lo", "u").alias("ea"),
+                    F.greatest("lo", "u").alias("eb"),
+                ),
+                F.struct(
+                    F.least("lo", "v").alias("ea"),
+                    F.greatest("lo", "v").alias("eb"),
+                ),
+                F.struct(F.col("u").alias("ea"), F.col("v").alias("eb")),
+            )
+        ).alias("e")
+    ).select("e.ea", "e.eb")
+    return edges3.groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("support"))
+
+
+def truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """(node_a, node_b, support): the k-truss of an undirected (src, dst)
+    edge set — the maximal subgraph in which every EDGE closes at least
+    k−2 triangles — with each surviving edge's in-truss support.
+
+    The edge-cohesion complement of :func:`kcore` (node degree can be
+    inflated by a star; triangle support cannot — a k-truss is always
+    inside the (k−1)-core but prunes much harder), the standard
+    community-core primitive over co-occurrence graphs (Cohen 2008,
+    "Trusses: cohesive subgraphs for social network analysis").
+
+    The distributed peel: per round, count each edge's triangle support
+    with the degree-oriented wedge machinery (:func:`_edge_support` —
+    O(m^1.5) wedge rows regardless of hubs, one explode credits each
+    triangle to its three edges), drop edges under k−2, repeat to
+    fixpoint. Per-round lineage cut + convergence checksum follow the
+    connected_components protocol; like the kcore guard, ``max_iter``
+    exhaustion raises rather than overstating the truss (a partial peel
+    keeps edges whose support has not yet drained). Support state is
+    edge-sized; no adjacency list is ever collected.
+    """
+    und = _materialize(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    cur = und
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        sup = _edge_support(cur)
+        nxt = (
+            cur.join(
+                sup,
+                on=[F.col("a") == F.col("ea"), F.col("b") == F.col("eb")],
+                how="left",
+            )
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        checksum = _edge_checksum_ab(nxt)
+        if checksum == prev_sum:
+            converged = True
+            cur = nxt
+            break
+        prev_sum = checksum
+        cur = nxt
+    if not converged:
+        raise ValueError(f"k-truss peel did not converge in {max_iter} rounds")
+    return (
+        cur.join(
+            _edge_support(cur),
+            on=[F.col("a") == F.col("ea"), F.col("b") == F.col("eb")],
+            how="left",
+        )
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+        )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    n_seeds: int = 2,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank): personalized PageRank — teleportation mass restricted
+    to a seed set — after ``iters`` fixed power iterations:
+
+        rank'(v) = (1−d)·tele(v) + d · Σ_{u→v} rank(u) / outdeg(u),
+        tele(v) = 1/|S| for v ∈ S else 0.
+
+    The entity-centric relevance score over the KG (random-walk-with-
+    restart locality around the seeds) vs global pagerank importance.
+    Seeds are the ``n_seeds`` smallest node ids — a deterministic,
+    SQL-expressible choice (the q_lsh_ann lowest-ids convention); the
+    seed collect is bookkeeping-sized (n_seeds rows). Same plan shape as
+    :func:`pagerank`: edges hash-partitioned once and reused, one
+    co-partitioned join + one groupBy(dst) shuffle per iteration, rank
+    state node-sized, per-iteration lineage cuts. Fixed iteration count
+    keeps the result a pure function of the input (the oracle property).
+    """
+    e = _materialize(
+        edges.select("src", "dst").repartition("src"), eager=False
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = _materialize(e.join(deg, "src"), eager=False)
+    nodes = _materialize(
+        e.select(F.col("src").alias("id")).distinct(), eager=False
+    )
+    seed_rows = nodes.orderBy("id").limit(n_seeds).collect()
+    if not seed_rows:
+        return nodes.select(
+            F.col("id").alias("node"), F.lit(0.0).alias("rank")
+        )
+    seeds = [r["id"] for r in seed_rows]
+    tele = F.when(F.col("id").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(
+        F.lit(0.0)
+    )
+    rank = nodes.select("id", tele.alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(rank, ed.src == rank.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("w"),
+            )
+            .groupBy("id")
+            .agg(F.sum("w").alias("c"))
+        )
+        rank = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * tele
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        rank = _materialize(rank, eager=False)
+    return rank.select(F.col("id").alias("node"), "rank")
+
+
 def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     """(node, label): synchronous label propagation communities over an
     undirected (src, dst) edge set — the lightweight community detector

@@ -127,6 +127,62 @@ def weighted_sample(
     )
 
 
+def source_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(source, n_docs, n_tokens, token_share, target_weight, boost):
+    the data-mixing allocation a multi-source training run materializes
+    before sampling — per-source corpus shares plus the temperature-
+    reweighted target mixture
+
+        target_weight(s) = share(s)^T / Σ_s' share(s')^T
+
+    (T=1 keeps the natural mix, T=0 is uniform over sources, T∈(0,1)
+    upsamples the tail — the multilingual/多-domain mixing rule of
+    Lample & Conneau 2019 §3.1 and the Pile/DoReMi static-mix setups).
+    ``boost = target_weight / token_share`` is the per-source
+    oversampling factor to feed :func:`stratified_sample` /
+    :func:`weighted_sample` rates.
+
+    Plan: ONE scan of the corpus into a map-side-combined
+    groupBy(source); everything after operates on the source-cardinality
+    frame (domains, not documents — even at web scale that is ~10^6
+    rows), with the two one-row totals attached by broadcast cross
+    joins, never a corpus-sized shuffle. Emitted floats are rounded to
+    ``round_digits``; raw quotients stay unrounded until emission so
+    both engines compute identical doubles (the pagerank discipline).
+    """
+    from .textstats import token_count
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    shared = per.join(F.broadcast(tot)).withColumn(
+        "_share", F.col("n_tokens").cast("double") / F.col("_tot")
+    )
+    z = shared.agg(
+        F.sum(F.pow(F.col("_share"), F.lit(temperature))).alias("_z")
+    )
+    tw = F.pow(F.col("_share"), F.lit(temperature)) / F.col("_z")
+    return (
+        shared.join(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("_share"), round_digits).alias("token_share"),
+            F.round(tw, round_digits).alias("target_weight"),
+            F.round(tw / F.col("_share"), round_digits).alias("boost"),
+        )
+    )
+
+
 def compact(
     spark: SparkSession,
     path: str,

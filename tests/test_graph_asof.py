@@ -451,3 +451,130 @@ def test_label_propagation_matches_pure_python(spark):
         for r in label_propagation(edges, iters=3).collect()
     }
     assert got == labels
+
+
+def _py_truss(edges, k):
+    """Literal single-threaded peel of the documented truss semantics."""
+    es = set(edges)
+    sup = {}
+    while True:
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in es}
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == es:
+            break
+        es = nxt
+    return {(a, b): sup[(a, b)] for a, b in es}
+
+
+def test_truss_hand_graph_and_cascade(spark):
+    from ner_backend_spark.spark.graph import truss
+
+    # K4 (every edge in 2 triangles) + lone triangle (support 1 each)
+    # + pendant edge (support 0)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tri = [(10, 11), (10, 12), (11, 12)]
+    pend = [(20, 21)]
+    df = spark.createDataFrame(k4 + tri + pend, "src long, dst long")
+    got3 = {
+        (r["node_a"], r["node_b"]): r["support"]
+        for r in truss(df, k=3).collect()
+    }
+    want3 = {tuple(e): 2 for e in k4}
+    want3.update({tuple(e): 1 for e in tri})
+    assert got3 == want3, got3  # pendant gone, triangle + K4 stay
+    got4 = {
+        (r["node_a"], r["node_b"]): r["support"]
+        for r in truss(df, k=4).collect()
+    }
+    assert got4 == {tuple(e): 2 for e in k4}, got4  # only K4 survives
+
+    # cascade: two triangles sharing edge (2,3) — at k=4 the shared edge
+    # starts at support 2 but must STILL peel once its triangles' other
+    # edges (support 1) drop; a single-pass filter would keep it
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "src long, dst long"
+    )
+    assert truss(chain, k=4).count() == 0
+
+
+def test_truss_matches_pure_python(spark):
+    import random
+
+    from ner_backend_spark.spark.graph import truss
+
+    rng = random.Random(17)
+    raw = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    df = spark.createDataFrame(und, "src long, dst long")
+    for k in (3, 4):
+        want = _py_truss(und, k)
+        got = {
+            (r["node_a"], r["node_b"]): r["support"]
+            for r in truss(df, k=k).collect()
+        }
+        assert got == want, k
+
+
+def test_ppr_matches_dense_numpy(spark):
+    import numpy as np
+
+    from ner_backend_spark.spark.graph import personalized_pagerank
+
+    rng = np.random.RandomState(3)
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.randint(0, 25, size=(60, 2))
+        if a != b
+    }
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    # symmetrized distinct edge input (the pagerank/ppr contract)
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sorted(sym), "src long, dst long")
+
+    nodes = sorted({n for e in und for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in und:
+        adj[idx[a], idx[b]] = 1.0
+        adj[idx[b], idx[a]] = 1.0
+    outdeg = adj.sum(axis=1)
+    seeds = nodes[:2]
+    tele = np.zeros(n)
+    for s in seeds:
+        tele[idx[s]] = 1.0 / len(seeds)
+    d = 0.85
+    r = tele.copy()
+    for _ in range(3):
+        contrib = adj.T @ (r / outdeg)
+        r = (1 - d) * tele + d * contrib
+
+    got = {
+        row["node"]: row["rank"]
+        for row in personalized_pagerank(df, n_seeds=2, iters=3).collect()
+    }
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], abs=1e-12), node
+
+
+def test_ppr_mass_stays_near_seeds(spark):
+    from ner_backend_spark.spark.graph import personalized_pagerank
+
+    # two disconnected 3-cliques; seeds (2 smallest ids) are both in the
+    # first -> the second clique receives ZERO rank (no teleport, no path)
+    c1 = [(a, b) for a in range(3) for b in range(3) if a != b]
+    c2 = [(a, b) for a in range(10, 13) for b in range(10, 13) if a != b]
+    df = spark.createDataFrame(c1 + c2, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, n_seeds=2, iters=3).collect()
+    }
+    assert all(got[n] == 0.0 for n in (10, 11, 12)), got
+    assert all(got[n] > 0.0 for n in (0, 1, 2)), got
+    # walk mass is conserved within the seed component
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)

@@ -130,3 +130,46 @@ def test_compact_partitioned_one_file_per_dir(spark, docs, tmp_path):
         ]
         assert len(files) == 1
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+
+
+def test_source_mix_hand_values(spark):
+    import math
+
+    from ner_backend_spark.spark.sampling import source_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two", "a"),
+            (2, "three four five", "a"),
+            (3, "six", "a"),
+            (4, "seven eight", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r for r in source_mix(docs, temperature=0.5).collect()
+    }
+    # a: 3 docs, 6 tokens; b: 1 doc, 2 tokens; total 8
+    assert (got["a"]["n_docs"], got["a"]["n_tokens"]) == (3, 6)
+    assert (got["b"]["n_docs"], got["b"]["n_tokens"]) == (1, 2)
+    sa, sb = 6 / 8, 2 / 8
+    z = math.sqrt(sa) + math.sqrt(sb)
+    assert got["a"]["token_share"] == round(sa, 6)
+    assert got["b"]["token_share"] == round(sb, 6)
+    assert got["a"]["target_weight"] == round(math.sqrt(sa) / z, 6)
+    assert got["b"]["target_weight"] == round(math.sqrt(sb) / z, 6)
+    # temperature < 1 upsamples the tail source, downsamples the head
+    assert got["b"]["boost"] > 1.0 > got["a"]["boost"]
+
+
+def test_source_mix_temperature_one_is_natural(spark):
+    from ner_backend_spark.spark.sampling import source_mix
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1), f"s{i % 3}") for i in range(9)],
+        "doc_id long, text string, source string",
+    )
+    rows = source_mix(docs, temperature=1.0).collect()
+    for r in rows:
+        assert r["target_weight"] == r["token_share"], r
+        assert r["boost"] == 1.0, r
