@@ -156,11 +156,20 @@ def source_mix(
     ``round_digits``; raw quotients stay unrounded until emission so
     both engines compute identical doubles (the pagerank discipline).
     """
+    from .kg import _materialize
     from .textstats import token_count
 
-    per = docs.groupBy(F.col(source_col).alias("source")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    # lineage cut on the source-cardinality aggregate: `per` is referenced
+    # three times below (tot, shared×2) — without the cut the corpus
+    # groupBy re-plans per reference and only RUNTIME exchange reuse
+    # (not a contract) saves the extra 100 TB scans; cut, the corpus
+    # scan provably executes once (plan-asserted in test_plan_contracts)
+    per = _materialize(
+        docs.groupBy(F.col(source_col).alias("source")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        ),
+        eager=False,
     )
     tot = per.agg(F.sum("n_tokens").cast("double").alias("_tot"))
     shared = per.join(F.broadcast(tot)).withColumn(

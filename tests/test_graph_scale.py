@@ -89,3 +89,23 @@ def test_wedge_ops_hub_safe_bounds(spark):
     # but catches an O(deg_hub^2) regression (which would run for hours)
     assert lcc_wall < 300, lcc_wall
     assert kcore_wall < 300, kcore_wall
+
+
+def test_truss_hub_safe_wall(spark):
+    """k-truss on the same hub graph: every peel round reuses the
+    degree-oriented wedge machinery, so the same O(m^1.5) bound must
+    hold per round and the peel must converge in few rounds at a
+    CI-tolerable wall (an O(deg_hub^2) regression runs for hours).
+    k=3 keeps the dense low-id region, so the assertion also covers a
+    non-empty converged result with the support invariant."""
+    import time
+
+    edges = _power_law_hub_graph(spark)
+    t0 = time.monotonic()
+    out = graph.truss(edges, k=3, max_iter=50)
+    n_edges = out.count()
+    wall = time.monotonic() - t0
+    assert n_edges > 0
+    # truss invariant: every surviving edge closes >= k-2 triangles
+    assert out.agg(F.min("support")).collect()[0][0] >= 1
+    assert wall < 600, wall

@@ -203,13 +203,14 @@ def test_incremental_graph_analytics_equal_batch(spark, tmp_path, alias_df):
     gets wrong). Round 7 extends the family to kcore and
     clustering_coefficient (verdict r6 #6) — the wedge/peel operators
     consume the same maintained edge set, so incremental-vs-batch
-    equality must survive them too."""
+    equality must survive them too — and to the k-truss edge peel."""
     from ner_backend_spark.spark.graph import (
         clustering_coefficient,
         degrees,
         kcore,
         pagerank,
         symmetric_edges,
+        truss,
     )
 
     full = spark.createDataFrame(
@@ -252,6 +253,12 @@ def test_incremental_graph_analytics_equal_batch(spark, tmp_path, alias_df):
             for r in clustering_coefficient(_subj_obj_edges(triples)).collect()
         }
 
+    def truss_map(triples):
+        return {
+            (r["node_a"], r["node_b"]): r["support"]
+            for r in truss(_subj_obj_edges(triples), k=3).collect()
+        }
+
     for bid, prefix in ((0, b0), (1, full)):
         inc.process_batch((b0, b1)[bid], bid)
         inc_triples = kg.triples_from_canonical(prefix, inc.canonical())
@@ -262,6 +269,7 @@ def test_incremental_graph_analytics_equal_batch(spark, tmp_path, alias_df):
         assert pr_map(inc_triples) == pr_map(batch_triples), bid
         assert kcore_map(inc_triples) == kcore_map(batch_triples), bid
         assert lcc_map(inc_triples) == lcc_map(batch_triples), bid
+        assert truss_map(inc_triples) == truss_map(batch_triples), bid
     # the merge actually exercised the non-additive path: batch-1 brought
     # u2/u3 into u1's cluster, so the ORG degree census changed shape
     final = deg_map(kg.triples_from_canonical(full, inc.canonical()))

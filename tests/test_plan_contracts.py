@@ -211,3 +211,69 @@ def test_graph_pair_ops_never_nested_loop(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
         assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget, plan
+
+
+def test_ppr_per_iteration_plan_is_constant(spark):
+    """Personalized PageRank shares pagerank's lineage discipline: each
+    iteration's rank update plans a bounded number of exchanges
+    regardless of iteration index, and the returned frame is
+    checkpoint-rooted (zero exchanges — no re-execution of the chain
+    per action)."""
+    edges = spark.range(200).select(
+        (F.col("id") % 20).alias("src"), ((F.col("id") * 3) % 20).alias("dst")
+    )
+    plans = []
+    orig = graph._materialize
+
+    def spy(df, eager=False):
+        plans.append(_plan(df))
+        return orig(df, eager=eager)
+
+    graph._materialize = spy
+    try:
+        pr = graph.personalized_pagerank(edges, n_seeds=2, iters=3)
+    finally:
+        graph._materialize = orig
+    iter_plans = plans[-3:]
+    counts = [p.count("Exchange hashpartitioning") for p in iter_plans]
+    assert all(c <= 2 for c in counts), counts
+    assert _plan(pr).count("Exchange") == 0
+
+
+def test_truss_plan_checkpoint_rooted(spark):
+    """The k-truss peel cuts lineage on the undirected edge set and per
+    round: the returned plan must be rooted at checkpointed RDDs — the
+    upstream edge plan (the full KG pipeline in q_kg_truss) appears
+    ZERO times, and no round's wedge machinery re-plans into the final
+    frame (the q_kg_clustering re-execution bug class)."""
+    edges = spark.range(400).select(
+        (F.col("id") % 23).alias("src"), ((F.col("id") * 7) % 23).alias("dst")
+    )
+    plan = _plan(graph.truss(edges, k=3))
+    assert plan.count("Range (") == 0, plan
+    # final emit: the support groupBy + its join against the converged
+    # edge RDD — bounded exchanges, never a nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_mix_single_corpus_scan(spark):
+    """source_mix must scan the corpus exactly ONCE: the per-source
+    aggregate is lineage-cut, so the final plan is checkpoint-rooted
+    (zero corpus scans in the emitted plan) and the two one-row totals
+    attach by broadcast — never a shuffled join, never a second pass
+    over the documents."""
+    from ner_backend_spark.spark.sampling import source_mix
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y doc "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        (F.col("id") % 5).cast("string").alias("source"),
+    )
+    plan = _plan(source_mix(docs))
+    assert plan.count("Range (") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row cross joins
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
