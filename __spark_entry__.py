@@ -1507,6 +1507,25 @@ def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters over word trigrams (boilerplate/meme
+    phrase mining): CMS-candidate generation folded to literal lookup
+    arrays (map-side filter — the trigram stream is never fully shuffled
+    on its key) + exact verify of candidates only. theta = 1/5000 as
+    integer math. Output is exact, so the oracle is plain GROUP
+    BY/HAVING with no sketch modelling."""
+    from ner_backend_spark.spark.sketches import heavy_hitters
+    from ner_backend_spark.spark.textstats import word_ngrams, words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_ngrams(words_expr(F.col("text")), 3)).alias("term")
+    )
+    return heavy_hitters(
+        grams, "term", theta_num=1, theta_den=5000, width=16384
+    ).select(F.col("value").alias("term"), "n")
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data-mixing allocation: one corpus scan into a
     map-side-combined groupBy(source), then temperature-0.5 reweighted
@@ -1641,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_truss": _q_kg_truss,
         "q_kg_ppr": _q_kg_ppr,
         "q_source_mix": _q_source_mix,
+        "q_heavy_ngrams": _q_heavy_ngrams,
     }
 
 
@@ -2164,6 +2184,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE (label = 'kw_scan' AND text LIKE '%scan%')
               AND ((SELECT count(*) FROM ents e2 WHERE e2.label = 'kw_spark') > 0
                    OR (label = 'kw_j' AND text = 'join'))
+        """,
+        # heavy hitters: the OUTPUT is exact (sketch candidates are killed
+        # by the exact verify pass), so the oracle needs no CMS modelling
+        "q_heavy_ngrams": r"""
+            WITH w AS (
+                SELECT CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+')
+                       END AS words
+                FROM documents
+            ), t AS (
+                SELECT unnest(CASE WHEN len(words) >= 3
+                       THEN list_transform(
+                           generate_series(1, len(words) - 2),
+                           i -> words[i] || ' ' || words[i+1]
+                                || ' ' || words[i+2])
+                       ELSE CAST([] AS VARCHAR[]) END) AS term
+                FROM w
+            )
+            SELECT term, count(*) AS n FROM t GROUP BY term
+            HAVING count(*) * 5000 >= (SELECT count(*) FROM t)
         """,
         # per-source mixing allocation: token counts mirror q_token_stats'
         # boundary-stripped whitespace split; shares/pow/normalize are the

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_dup_clusters",
     "q_kg_truss",
     "q_source_mix",
+    "q_heavy_ngrams",
 ]
 
 

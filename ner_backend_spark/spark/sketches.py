@@ -257,6 +257,87 @@ GROUP BY a.key
 """
 
 
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    theta_num: int,
+    theta_den: int,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """(value, n): every value whose EXACT count satisfies
+    n * theta_den >= theta_num * N (theta = theta_num/theta_den as
+    integer math — no float threshold), over a value stream that is
+    never fully shuffled on its key.
+
+    The classic sketch-then-verify heavy-hitters plan (Cormode-
+    Muthukrishnan CMS candidates + exact second pass):
+
+    1. CANDIDATES: build the d×w count-min sketch (:func:`cms_table` —
+       one scan, the shuffle collapses to <= d*w rows) and MATERIALIZE
+       it (the corpus scan behind it must execute once, not once per
+       probe row below); attach each row's d addressed counters via d
+       per-hash-row BROADCAST joins (the sketch is <= d*w rows by
+       construction, so every join is map-side — no exchange touches
+       the value stream), then filter
+       least_i(cnt_i) * theta_den >= theta_num * N. CMS never
+       undercounts, so the survivors are a guaranteed superset of the
+       true heavy hitters; N itself is the row-0 column sum of the
+       sketch (every value lands in exactly one column per row) — a
+       one-row agg over the materialized sketch, no extra counting
+       scan. NOT literal lookup arrays: folding the grid into
+       F.lit(...) arrays makes plan/codegen cost linear in d*w
+       (measured 4.9 s at width 1024 vs 29.3 s at 16384 on identical
+       data); the broadcast-join form is width-independent.
+    2. VERIFY: exact count of ONLY the candidate-matched rows (the
+       filter runs below the exchange, so the groupBy shuffles
+       candidate occurrences map-side-combined to candidate
+       cardinality per task), then the exact integer threshold.
+
+    The output is a pure function of the data — sketch false positives
+    are killed by the exact pass, so the oracle is plain GROUP BY /
+    HAVING SQL with no sketch modelling. Two scans of the value stream
+    total (the BM25 rule: a columnar re-scan beats materializing a
+    corpus-sized token table); the only vocabulary-keyed shuffle
+    carries candidates, never the thin tail — the reason this exists
+    instead of a straight two-phase groupBy whose map-side combine
+    still ships every partition's full vocabulary. Size ``width``
+    toward N/threshold so collisions don't bloat the candidate set
+    (overcounts cost shuffle, never correctness).
+    """
+    from .kg import _materialize
+
+    sketch = _materialize(cms_table(df, value_col, depth, width))
+    total = (
+        sketch.filter(F.col("row") == 0)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    probe = df
+    for i in range(depth):
+        h = F.md5(
+            F.concat_ws("#", F.col(value_col).cast("string"), F.lit(i))
+        )
+        col = F.pmod(
+            F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint"),
+            F.lit(width),
+        ).cast("int")
+        row_i = sketch.filter(F.col("row") == i).select(
+            F.col("col").alias(f"_c{i}"), F.col("cnt").alias(f"_n{i}")
+        )
+        probe = probe.withColumn(f"_h{i}", col).join(
+            F.broadcast(row_i), F.col(f"_h{i}") == F.col(f"_c{i}"), "left"
+        )
+    ests = [F.coalesce(F.col(f"_n{i}"), F.lit(0)) for i in range(depth)]
+    est = F.least(*ests) if depth > 1 else ests[0]
+    return (
+        probe.filter(est * F.lit(theta_den) >= F.lit(theta_num * total))
+        .groupBy(F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * F.lit(theta_den) >= F.lit(theta_num * total))
+    )
+
+
 def bloom_bits(
     df: DataFrame,
     value_col: str,

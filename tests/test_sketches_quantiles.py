@@ -351,3 +351,64 @@ def test_bloom_merge_is_bit_union(spark):
         spark.createDataFrame([(v,) for v in a + b], ["v"]), "v"
     )
     assert merged == {r["bit"] for r in whole.collect()}
+
+
+def test_heavy_hitters_exact_at_threshold(spark):
+    from ner_backend_spark.spark.sketches import heavy_hitters
+
+    # counts: a=50, b=20, c=10, d=1x20 singletons -> N=100
+    rows = (
+        [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 10
+        + [(f"d{i}",) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, ["v"])
+    got = {
+        r["value"]: r["n"]
+        for r in heavy_hitters(df, "v", theta_num=1, theta_den=10).collect()
+    }
+    # threshold is n*10 >= 100, i.e. n >= 10 — c sits exactly ON it
+    assert got == {"a": 50, "b": 20, "c": 10}, got
+    got2 = {
+        r["value"]: r["n"]
+        for r in heavy_hitters(df, "v", theta_num=1, theta_den=5).collect()
+    }
+    assert got2 == {"a": 50, "b": 20}, got2
+
+
+def test_heavy_hitters_exact_under_forced_collisions(spark):
+    from ner_backend_spark.spark.sketches import heavy_hitters
+
+    # width 4 with a 200-value vocab: every CMS cell collides massively,
+    # so the candidate set is a large superset — the exact verify pass
+    # must still produce exactly the true heavy hitters
+    rows = [("hot",)] * 60 + [(f"t{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["v"])
+    got = {
+        r["value"]: r["n"]
+        for r in heavy_hitters(
+            df, "v", theta_num=1, theta_den=10, depth=2, width=4
+        ).collect()
+    }
+    assert got == {"hot": 60}, got
+
+
+def test_heavy_hitters_plan_map_side_filter(spark):
+    from ner_backend_spark.spark.sketches import heavy_hitters
+
+    df = spark.range(2000).select(
+        (F.col("id") % 37).cast("string").alias("v")
+    )
+    plan = (
+        heavy_hitters(df, "v", theta_num=1, theta_den=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ONE vocabulary-keyed exchange (the exact groupBy over candidate-
+    # filtered rows); the d sketch-row lookups are BROADCAST joins below
+    # it (the sketch is <= d*w rows by construction) — the value stream
+    # itself never hits a hash or sort-merge exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "least(" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
