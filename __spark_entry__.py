@@ -1507,6 +1507,35 @@ def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval systems over the same
+    query set — the exact cosine top-k and the PQ-compressed ADC top-k
+    (the classic exact+compressed ensemble): rrf = Σ 1/(60 + rank).
+    Inputs are rankings (queries × k rows), never corpora. Oracle:
+    the same fusion arithmetic in SQL over the q_knn_cosine inline
+    oracle CTE and the materialized q_pq_ann oracle table."""
+    from ner_backend_spark.spark.similarity import rrf_fuse
+
+    knn = _q_knn_cosine(spark, sf_dir)
+    pq = _q_pq_ann(spark, sf_dir)
+    return rrf_fuse([knn, pq], k=60, topk=10)
+
+
+def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph census of the entity co-occurrence graph (run telemetry: a
+    density jump is the canonical symptom of an over-permissive alias
+    threshold): n_nodes, n_edges, max/avg degree, density — single-row
+    output, node-sized state. Oracle: the same census as compositional
+    SQL over the triples oracle table."""
+    from ner_backend_spark.spark.graph import graph_summary
+
+    pairs = _q_kg_cooccurrence(spark, sf_dir)
+    edges = pairs.select(
+        F.col("obj_a").alias("src"), F.col("obj_b").alias("dst")
+    )
+    return graph_summary(edges)
+
+
 def _q_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy hitters over word trigrams (boilerplate/meme
     phrase mining): CMS-candidate generation folded to literal lookup
@@ -1661,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_ppr": _q_kg_ppr,
         "q_source_mix": _q_source_mix,
         "q_heavy_ngrams": _q_heavy_ngrams,
+        "q_rrf_fusion": _q_rrf_fusion,
+        "q_kg_summary": _q_kg_summary,
     }
 
 
@@ -1818,6 +1849,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS node, round(rank, 6) AS rank FROM r3
     """
     )
+    # RRF fusion: the q_knn_cosine inline CTE (rankings identical to the
+    # Spark side — parity-proven) fused with the materialized PQ oracle;
+    # with two systems the rrf sum is a commutative-exact two-double add,
+    # so ORDER BY the raw double is engine-identical (ties -> neighbor)
+    materialized["q_rrf_fusion"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT query_id, vec_id AS neighbor_id,
+                     list_cosine_similarity(q_vec, embedding) AS sim
+              FROM q, embeddings WHERE vec_id != query_id),
+        r AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id
+                     ) AS rnk
+              FROM s),
+        knn AS (SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5),
+        pq AS (SELECT query_id, neighbor_id, rnk
+               FROM read_parquet('{odir}/q_pq_ann.parquet')),
+        u AS (
+            SELECT query_id, neighbor_id,
+                   1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS sc FROM knn
+            UNION ALL
+            SELECT query_id, neighbor_id,
+                   1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS sc FROM pq
+        ),
+        f AS (SELECT query_id, neighbor_id, sum(sc) AS ssum
+              FROM u GROUP BY 1, 2),
+        rr AS (SELECT query_id, neighbor_id, ssum,
+                      row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY ssum DESC, neighbor_id
+                      ) AS fused_rnk
+               FROM f)
+        SELECT query_id, neighbor_id, round(ssum, 6) AS rrf,
+               CAST(fused_rnk AS BIGINT) AS fused_rnk
+        FROM rr WHERE fused_rnk <= 10
+    """
+    materialized["q_kg_summary"] = f"""
+        WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
+        capped AS (
+            SELECT subj, obj FROM (
+                SELECT subj, obj,
+                       row_number() OVER (PARTITION BY subj ORDER BY obj) AS rn
+                FROM objs
+            ) WHERE rn <= 20
+        ),
+        und AS (
+            SELECT DISTINCT a.obj AS a, b.obj AS b
+            FROM capped a JOIN capped b
+              ON a.subj = b.subj AND a.obj < b.obj
+        ),
+        sym AS (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ),
+        deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+        st AS (SELECT count(*) AS n_nodes,
+                      CAST(coalesce(max(deg), 0) AS BIGINT) AS max_deg,
+                      CAST(coalesce(sum(deg), 0) AS BIGINT) AS degsum
+               FROM deg)
+        SELECT n_nodes,
+               CAST(degsum / 2 AS BIGINT) AS n_edges,
+               max_deg,
+               round(CAST(degsum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+                   AS avg_deg,
+               round(CAST(degsum AS DOUBLE)
+                     / (CAST(n_nodes AS DOUBLE)
+                        * (CAST(n_nodes AS DOUBLE) - 1.0)), 6) AS density
+        FROM st
+    """
     materialized["q_kg_cooccurrence"] = f"""
         WITH objs AS (SELECT DISTINCT subj, obj FROM {_tri}),
         capped AS (

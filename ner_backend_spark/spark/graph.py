@@ -774,3 +774,52 @@ def _edge_checksum_ab(edges: DataFrame) -> tuple[int, int]:
         ).alias("h"),
     ).collect()[0]
     return row["n"], row["h"]
+
+
+def graph_summary(edges: DataFrame, round_digits: int = 6) -> DataFrame:
+    """One row (n_nodes, n_edges, max_deg, avg_deg, density): the graph
+    census a KG build emits as run telemetry (the number a curator reads
+    before deciding whether the blocking thresholds produced a
+    plausible graph — a density jump is the canonical symptom of an
+    over-permissive alias threshold).
+
+    Input is any (src, dst) edge set; self-loops and duplicate/reversed
+    edges are collapsed first (the und convention shared by every graph
+    operator here). Plan: the dedup shuffle + one degree groupBy + one
+    global aggregate — node-sized state, single-row output. avg_deg =
+    2m/n and density = 2m/(n*(n-1)) are emitted rounded; fixed operand
+    order mirrors the DuckDB oracle.
+    """
+    und = _materialize(
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct(),
+        eager=False,
+    )
+    sym = und.select(F.col("a").alias("node")).union(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.max("deg"), F.lit(0)).alias("max_deg"),
+        F.coalesce(F.sum("deg"), F.lit(0)).alias("_degsum"),
+    )
+    n = F.col("n_nodes").cast("double")
+    m = (F.col("_degsum") / 2).cast("long")
+    return stats.select(
+        "n_nodes",
+        m.alias("n_edges"),
+        "max_deg",
+        F.round(
+            F.col("_degsum").cast("double") / n, round_digits
+        ).alias("avg_deg"),
+        F.round(
+            F.col("_degsum").cast("double") / (n * (n - F.lit(1.0))),
+            round_digits,
+        ).alias("density"),
+    )

@@ -810,3 +810,56 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, rrf, fused_rnk): reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009) of multiple per-query rankings —
+    the standard ensemble layer over heterogeneous retrieval systems
+    (lexical BM25 + dense ANN, exact + compressed index):
+
+        rrf(d) = sum over systems ranking d of 1 / (k + rank_sys(d)).
+
+    Scale shape: the inputs are RANKINGS (per-query top-k tables, k
+    rows per query per system), never corpora — the union carries
+    O(queries * k * systems) rows, the fuse is one map-side-combined
+    groupBy on (query, doc), and the final per-query top-k is a window
+    over <= systems*k candidates per query. Determinism across engines:
+    rrf sums at most ``len(rankings)`` IEEE doubles whose operands are
+    exact small-integer reciprocals — with two systems the sum is
+    commutative-exact, ties break on the id column on both engines;
+    the emitted score is rounded, the ORDER uses the raw double.
+    """
+    scored = None
+    for r in rankings:
+        s = r.select(
+            F.col(group_col),
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("_s"),
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    fused = scored.groupBy(group_col, id_col).agg(F.sum("_s").alias("_sum"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_sum").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(w))
+        .filter(F.col("fused_rnk") <= topk)
+        .select(
+            group_col,
+            id_col,
+            F.round(F.col("_sum"), round_digits).alias("rrf"),
+            F.col("fused_rnk").cast("long").alias("fused_rnk"),
+        )
+    )

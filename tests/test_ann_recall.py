@@ -159,3 +159,42 @@ def test_pq_encode_matches_numpy_mirror(clustered):
         assert got[r["vec_id"]] == list(want), r["vec_id"]
     # every code in range
     assert all(0 <= c < 16 for cs in got.values() for c in cs)
+
+
+def test_rrf_fuse_hand_values(spark):
+    from ner_backend_spark.spark.similarity import rrf_fuse
+
+    # system A ranks docs 1,2,3; system B ranks 2,3,4 — doc 2 must win
+    # (1/61 + 1/62 beats every single-system score), doc 1 (rank-1 in A
+    # only) ties doc 4's profile shape but not value; ties impossible
+    # here, so check exact arithmetic and ordering
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)],
+        "query_id long, neighbor_id long, rnk long",
+    )
+    b = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2), (0, 4, 3)],
+        "query_id long, neighbor_id long, rnk long",
+    )
+    rows = rrf_fuse([a, b], k=60, topk=10).collect()
+    got = {r["neighbor_id"]: (r["rrf"], r["fused_rnk"]) for r in rows}
+    assert got[2] == (round(1 / 62 + 1 / 61, 6), 1), got
+    assert got[3] == (round(1 / 63 + 1 / 62, 6), 2), got
+    # singles: doc 1 (1/61) > doc 4 (1/63)
+    assert got[1] == (round(1 / 61, 6), 3)
+    assert got[4] == (round(1 / 63, 6), 4)
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    from ner_backend_spark.spark.similarity import rrf_fuse
+
+    # two docs with IDENTICAL profiles (rank 1 in exactly one system):
+    # tie breaks on neighbor_id; topk truncates per query
+    a = spark.createDataFrame(
+        [(0, 9, 1)], "query_id long, neighbor_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(0, 4, 1)], "query_id long, neighbor_id long, rnk long"
+    )
+    rows = rrf_fuse([a, b], k=60, topk=1).collect()
+    assert len(rows) == 1 and rows[0]["neighbor_id"] == 4, rows

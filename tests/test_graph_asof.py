@@ -578,3 +578,21 @@ def test_ppr_mass_stays_near_seeds(spark):
     assert all(got[n] > 0.0 for n in (0, 1, 2)), got
     # walk mass is conserved within the seed component
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_graph_summary_hand_graph(spark):
+    from ner_backend_spark.spark.graph import graph_summary
+
+    # K3 (a,b,c) + pendant (c,d), with a duplicate and a reversed edge
+    # and a self-loop that must all collapse
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"), ("c", "d"),
+         ("d", "d"), ("a", "b")],
+        "src string, dst string",
+    )
+    r = graph_summary(df).collect()[0]
+    # 4 nodes, 4 edges, degs: a=2 b=2 c=3 d=1 -> max 3, avg 8/4=2.0,
+    # density 8/(4*3)=0.666667
+    assert (r["n_nodes"], r["n_edges"], r["max_deg"]) == (4, 4, 3)
+    assert r["avg_deg"] == 2.0
+    assert r["density"] == round(8 / 12, 6)
