@@ -1507,6 +1507,21 @@ def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (the deterministic stand-in
+    for approx_percentile, whose KLL compaction is not reproducible
+    cross-engine): bin counts shuffle O(groups × bins) regardless of
+    input size, the answer is the [q_lo, q_hi) bin-edge certificate
+    containing the exact quantile (error ≤ bin_width by construction).
+    Oracle: identical floor-bin / cumulative / ceil-rank math inline."""
+    from ner_backend_spark.spark.quantiles import binned_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return binned_quantiles(
+        ev, "event_type", "value", [0.25, 0.5, 0.9, 0.99], bin_width=10.0
+    )
+
+
 def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrieval systems over the same
     query set — the exact cosine top-k and the PQ-compressed ADC top-k
@@ -1692,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_ngrams": _q_heavy_ngrams,
         "q_rrf_fusion": _q_rrf_fusion,
         "q_kg_summary": _q_kg_summary,
+        "q_approx_percentiles": _q_approx_percentiles,
     }
 
 
@@ -2156,6 +2172,42 @@ def oracle_sql() -> dict[str, str]:
               ON e.event_type = w.event_type
              AND e.ts >= w.w_start AND e.ts < w.w_end
             GROUP BY w.window_id
+        """,
+        # histogram-sketch quantiles: identical floor-bin / cumulative /
+        # ceil-rank integer math as quantiles.binned_quantiles
+        "q_approx_percentiles": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(CAST(value AS DOUBLE) / 10.0) AS BIGINT)
+                           AS bin,
+                       count(*) AS c
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT event_type, bin,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumc
+                FROM b
+            ),
+            n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                  FROM b GROUP BY 1),
+            t AS (SELECT event_type, p,
+                         CAST(ceil(p * CAST(n AS DOUBLE)) AS BIGINT) AS k
+                  FROM n CROSS JOIN (
+                      SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE,
+                                     0.9::DOUBLE, 0.99::DOUBLE]) AS p)),
+            hit AS (SELECT c.event_type, t.p, c.bin,
+                           row_number() OVER (
+                               PARTITION BY c.event_type, t.p
+                               ORDER BY c.bin) AS rn
+                    FROM cum c
+                    JOIN t ON c.event_type = t.event_type
+                          AND c.cumc >= t.k)
+            SELECT event_type, p,
+                   CAST(bin AS DOUBLE) * 10.0 AS q_lo,
+                   CAST(bin + 1 AS DOUBLE) * 10.0 AS q_hi
+            FROM hit WHERE rn = 1
         """,
         "q_percentiles": """
             SELECT event_type, 0.25::DOUBLE AS p,

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "q_kg_truss",
     "q_source_mix",
     "q_heavy_ngrams",
+    "q_rrf_fusion",
+    "q_approx_percentiles",
 ]
 
 

@@ -120,3 +120,87 @@ def group_quantiles(
         F.round(q, out_digits).alias("q"),
     )
     return computed.unionByName(null_groups)
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """(group_col, p, q_lo, q_hi): MERGEABLE approximate quantiles via a
+    fixed-width histogram sketch — the 100-TB shape when even the single
+    global sort of :func:`group_quantiles` is too expensive, and the
+    deterministic stand-in for approx_percentile (whose KLL compaction
+    is not reproducible cross-engine).
+
+    Sketch: bin = floor(value / bin_width) (floored integer division —
+    deterministic IEEE double math both engines share), one map-side-
+    combined groupBy(group, bin) whose shuffle carries O(groups x
+    occupied-bins) rows regardless of input size; two histograms merge
+    by adding bin counts, so the sketch composes across partitions,
+    corpora, and streaming micro-batches. The quantile bin is the first
+    whose CUMULATIVE count reaches ceil(p * n) — computed with one
+    window over the BIN table (bin-sized, never value-sized) — and the
+    answer is that bin's [q_lo, q_hi) edge pair: a certificate interval
+    containing the exact quantile, with error bounded by bin_width by
+    construction (no interpolation guesswork presented as exactness).
+
+    The rank target ceil(p*n) is the inverted-CDF / SQL ``percentile_
+    disc`` rank, computed in integer space (ceil of an exact product of
+    a double and a bigint — both engines fold identically for the gate's
+    probability grid). NULL values are excluded from n (the
+    quantile_cont convention shared with group_quantiles); all-NULL
+    groups emit no rows here (the sketch has no bins to certify).
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width)))
+            .cast("long")
+            .alias("_bin"),
+        )
+        .groupBy(group_col, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(group_col).orderBy("_bin")
+    cum = binned.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    n = binned.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    pdim = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    tgt = n.select(group_col, pdim, "_n").select(
+        group_col,
+        "p",
+        F.ceil(F.col("p") * F.col("_n").cast("double")).cast("long").alias(
+            "_k"
+        ),
+    )
+    # first bin whose cumulative count reaches the rank target: windowed
+    # min over the (bin-sized) joined frame, keyed per (group, p)
+    hit = cum.join(F.broadcast(tgt), group_col).filter(
+        F.col("_cum") >= F.col("_k")
+    )
+    w2 = Window.partitionBy(group_col, "p").orderBy("_bin")
+    return (
+        hit.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select(
+            group_col,
+            "p",
+            (F.col("_bin").cast("double") * F.lit(float(bin_width))).alias(
+                "q_lo"
+            ),
+            (
+                (F.col("_bin") + F.lit(1)).cast("double")
+                * F.lit(float(bin_width))
+            ).alias("q_hi"),
+        )
+    )
