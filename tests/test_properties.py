@@ -201,3 +201,59 @@ def test_viterbi_batch_equals_sequential_property(data):
     assert crf.viterbi_decode_batch(ems, chunk=4) == [
         crf.viterbi_decode(e) for e in ems
     ]
+
+
+@given(st.integers(0, 10**6))
+@settings(max_examples=50, deadline=None)
+def test_pq_encode_is_l2_argmin(seed):
+    """The dot-minus-half-norm argmax form used by pq_encode/_pq_encode_np
+    must select a codeword whose L2 distance equals the true per-block
+    minimum (the two forms are algebraically identical; FP can reorder
+    exact ties only, which cannot change the distance achieved)."""
+    from ner_backend_spark.spark.similarity import _pq_encode_np, _pq_train
+
+    rng = np.random.RandomState(seed)
+    X = rng.normal(size=(40, 16))
+    books = _pq_train(X, n_blocks=4, n_codes=8, iters=3)
+    biases = 0.5 * (books**2).sum(axis=2)
+    for _ in range(5):
+        x = rng.normal(size=16)
+        codes = _pq_encode_np(x, books, biases)
+        for b in range(4):
+            sub = x[b * 4:(b + 1) * 4]
+            d2 = ((books[b] - sub) ** 2).sum(axis=1)
+            assert 0 <= codes[b] < 8
+            assert d2[codes[b]] <= d2.min() + 1e-9
+
+
+@given(st.integers(0, 10**6), st.integers(3, 5))
+@settings(max_examples=50, deadline=None)
+def test_truss_inside_k_minus_1_core(seed, k):
+    """Graph-theory containment the peel implementations must respect:
+    every node of the k-truss lies in the (k-1)-core (each endpoint of a
+    truss edge has >= k-2 common neighbors on that edge, hence degree
+    >= k-1). Checked on the pure-Python reference peels the Spark ops
+    are equivalence-tested against."""
+    import random
+
+    from tests.test_graph_asof import _py_truss
+
+    rng = random.Random(seed)
+    raw = {(rng.randrange(25), rng.randrange(25)) for _ in range(90)}
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+
+    es = set(und)
+    while True:  # (k-1)-core node peel
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k - 1}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    core_nodes = {n for e in es for n in e}
+
+    truss_nodes = {n for e in _py_truss(und, k) for n in e}
+    assert truss_nodes <= core_nodes
