@@ -164,3 +164,49 @@ def test_flagship_configs_carry_caps():
     assert MINHASH["max_bucket_size"] is not None
     assert SIMHASH["max_bucket_size"] is not None
     assert SIMHASH["max_hamming"] <= 3
+
+
+def test_heavy_hitters_skewed_stream_exact_and_bounded(spark):
+    """Heavy hitters on a 5M-token Zipf-ish stream (5 hot values at ~250k
+    occurrences each over a ~100k-term tail): the output must EQUAL the
+    straight groupBy/HAVING answer (sketch false positives die in the
+    verify pass — exactness is the contract, the sketch only prunes),
+    at a CI-tolerable wall. A regression that shuffles the full vocab
+    (or worse, the token stream) shows up as wall, not wrongness."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ner_backend_spark.spark.sketches import heavy_hitters
+
+    toks = spark.range(5_000_000).select(
+        F.when(
+            F.col("id") % 20 < 5,
+            F.concat(F.lit("hot"), (F.col("id") % 20).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("t"),
+                F.pmod(F.xxhash64("id"), F.lit(100_000)).cast("string"),
+            )
+        )
+        .alias("v")
+    )
+    t0 = time.monotonic()
+    got = {
+        r["value"]: r["n"]
+        for r in heavy_hitters(
+            toks, "v", theta_num=1, theta_den=1000, width=16384
+        ).collect()
+    }
+    wall = time.monotonic() - t0
+    want = {
+        r["v"]: r["n"]
+        for r in toks.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * 1000 >= 5_000_000)
+        .collect()
+    }
+    assert set(want) == {f"hot{i}" for i in range(5)}  # fixture sanity
+    assert got == want, (len(got), len(want))
+    assert wall < 120, wall
