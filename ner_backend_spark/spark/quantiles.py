@@ -156,7 +156,13 @@ def binned_quantiles(
     """
     if not ps:
         raise ValueError("ps must be non-empty")
-    binned = (
+    from .kg import _materialize
+
+    # lineage cut on the bin table (bin-sized, tiny): it feeds BOTH the
+    # cumulative window and the per-group totals — without the cut each
+    # consumer re-plans the corpus scan (plan-asserted single-scan in
+    # test_plan_contracts)
+    binned = _materialize(
         df.filter(F.col(value_col).isNotNull())
         .select(
             F.col(group_col),
@@ -165,7 +171,8 @@ def binned_quantiles(
             .alias("_bin"),
         )
         .groupBy(group_col, "_bin")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_c")),
+        eager=False,
     )
     w = Window.partitionBy(group_col).orderBy("_bin")
     cum = binned.withColumn(

@@ -277,3 +277,43 @@ def test_source_mix_single_corpus_scan(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the one-row cross joins
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_binned_quantiles_single_scan_no_global_sort(spark):
+    """The histogram-sketch quantiles must scan the corpus ONCE (the bin
+    aggregate is lineage-cut and feeds both the cumulative window and
+    the totals) and must never plan a SinglePartition exchange or a
+    sort-merge join over the DATA — the window and joins operate on the
+    bin-sized sketch, the rank targets attach by broadcast."""
+    from ner_backend_spark.spark.quantiles import binned_quantiles
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") * 3.7).alias("v")
+    )
+    plan = _plan(binned_quantiles(df, "g", "v", [0.5, 0.9]))
+    assert plan.count("Range (") == 0, plan  # checkpoint-rooted: one scan
+    assert plan.count("Exchange SinglePartition") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rrf_fuse_bounded_exchanges(spark):
+    """RRF fusion operates on rankings, never corpora: the whole plan is
+    the fuse groupBy + the per-query top-k window — two hash exchanges,
+    no joins, no single-partition collapse."""
+    from ner_backend_spark.spark.similarity import rrf_fuse
+
+    a = spark.range(50).select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        (F.col("id") + 1).alias("rnk"),
+    )
+    b = spark.range(50).select(
+        F.lit(0).cast("long").alias("query_id"),
+        (F.col("id") + 20).alias("neighbor_id"),
+        (F.col("id") + 1).alias("rnk"),
+    )
+    plan = _plan(rrf_fuse([a, b]))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange SinglePartition") == 0, plan
+    assert "Join" not in plan, plan
