@@ -137,3 +137,91 @@ def test_first_seen_running_total_readable_from_state_store(spark, tmp_path):
     rows = state.collect()
     assert len(rows) == 1
     assert rows[0]["value"][0][1] == 1  # (first_url, n_duplicates) = (u1, 1)
+
+
+def test_streaming_histogram_sketch_merges_to_batch(spark, tmp_path):
+    """The binned-quantile histogram is the streaming-friendly quantile
+    sketch: per-micro-batch bin counts ACCUMULATE (histograms add), so a
+    foreachBatch consumer that merges bin tables converges to the batch
+    sketch — and the quantile certificates read from the merged state
+    equal the batch operator's output exactly."""
+    from pyspark.sql import functions as F
+
+    from ner_backend_spark.spark.quantiles import binned_quantiles
+
+    rows = [("g1", float((i * 37) % 500)) for i in range(600)] + [
+        ("g2", float((i * 13) % 90)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    in_path = str(tmp_path / "vals_in")
+    df.repartition(5).write.parquet(in_path)
+
+    state_path = str(tmp_path / "bins_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def merge_bins(batch_df, batch_id):
+        bins = (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                "grp",
+                F.floor(F.col("value") / F.lit(25.0)).cast("long").alias(
+                    "_bin"
+                ),
+            )
+            .groupBy("grp", "_bin")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        bins.write.mode("append").parquet(state_path)
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_path)
+        .writeStream.foreachBatch(merge_bins)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # merged state: sum bin counts across micro-batches, then the same
+    # rank-certificate arithmetic the batch operator runs
+    merged = (
+        spark.read.parquet(state_path)
+        .groupBy("grp", "_bin")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    w_cum = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    cum = merged.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            w_cum.partitionBy("grp")
+            .orderBy("_bin")
+            .rowsBetween(w_cum.unboundedPreceding, w_cum.currentRow)
+        ),
+    )
+    n = merged.groupBy("grp").agg(F.sum("_c").alias("_n"))
+    got = {}
+    for p in (0.5, 0.9):
+        tgt = n.select(
+            "grp",
+            F.ceil(F.lit(p) * F.col("_n").cast("double"))
+            .cast("long")
+            .alias("_k"),
+        )
+        hit = (
+            cum.join(tgt, "grp")
+            .filter(F.col("_cum") >= F.col("_k"))
+            .groupBy("grp")
+            .agg(F.min("_bin").alias("_bin"))
+        )
+        for r in hit.collect():
+            got[(r["grp"], p)] = (r["_bin"] * 25.0, (r["_bin"] + 1) * 25.0)
+
+    want = {
+        (r["grp"], r["p"]): (r["q_lo"], r["q_hi"])
+        for r in binned_quantiles(
+            df, "grp", "value", [0.5, 0.9], bin_width=25.0
+        ).collect()
+    }
+    assert got == want
