@@ -317,3 +317,46 @@ def test_rrf_fuse_bounded_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("Exchange SinglePartition") == 0, plan
     assert "Join" not in plan, plan
+
+
+def test_neighbor_jaccard_plan_checkpoint_rooted_equi_joins(spark):
+    """neighbor_jaccard cuts lineage on the undirected edge set and the
+    capped neighbor lists: the final plan is checkpoint-rooted (the
+    upstream edge plan — the full KG pipeline in q_kg_jaccard — appears
+    zero times), and the capped self-join compiles as an EQUI-join on
+    the center key with the inequality as a residual — never a nested
+    loop, whose cost would be quadratic in the corpus."""
+    edges = spark.range(300).select(
+        (F.col("id") % 19).alias("src"), ((F.col("id") * 5) % 19).alias("dst")
+    )
+    plan = _plan(graph.neighbor_jaccard(edges, max_per_node=10))
+    assert plan.count("Range (") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_label_propagation_per_round_plan_is_constant(spark):
+    """LPA's per-round plan must be O(1): each round cuts lineage, so
+    every round's label update plans a bounded number of exchanges (the
+    edge⋈label join side + the (node,label) count + the top-1 window)
+    regardless of round index, and the returned frame is
+    checkpoint-rooted."""
+    edges = spark.range(300).select(
+        (F.col("id") % 19).alias("src"), ((F.col("id") * 5) % 19).alias("dst")
+    )
+    plans = []
+    orig = graph._materialize
+
+    def spy(df, eager=False):
+        plans.append(_plan(df))
+        return orig(df, eager=eager)
+
+    graph._materialize = spy
+    try:
+        out = graph.label_propagation(edges, iters=3)
+    finally:
+        graph._materialize = orig
+    round_plans = plans[-3:]
+    counts = [p.count("Exchange hashpartitioning") for p in round_plans]
+    assert all(c <= 3 for c in counts), counts
+    assert _plan(out).count("Exchange") == 0
