@@ -803,7 +803,17 @@ def mention_edges(
     # otherwise re-derive mentions after the caller unpersists them
     hits = alias_candidates(mentions, alias_df)
     if materialize_hits:
-        hits = _materialize(hits)
+        # LAZY localCheckpoint (round-8): the eager form ran a dedicated
+        # job whose only purpose was to pre-compute the broadcast alias
+        # join — one full pass over the mentions upstream before the CC
+        # base materialization repeated most of it. Lazily cut, the hits
+        # blocks materialize inside the first consuming job (the CC base
+        # eager checkpoint, which computes the mentions blocks anyway)
+        # and canonical_map's comp_alias branch still reuses them.
+        # A/B on q_kg_triples: identical triples, first-run wall
+        # 12.2 s -> 3.1 s (the duplicated upstream pass), warm ~0.3 s
+        # saved (one job boundary).
+        hits = _materialize(hits, eager=False)
     alias_edges = hits.select(
         F.col("mention_id").alias("src"),
         F.xxhash64(F.concat(F.lit("alias:"), "canonical_id")).alias("dst"),
@@ -844,7 +854,12 @@ def canonical_map(
     (checkpoint_kg.py) can resume from on-disk mentions/components tables.
     """
     # `labeled` feeds three consumers (rep, comp_alias, the final join);
-    # materialize so the mention⋈component join runs once, not per consumer.
+    # materialize so the mention⋈component join runs once, not per
+    # consumer. LAZY localCheckpoint (round-8): the eager form spent a
+    # dedicated job boundary on it; lazily cut, the first consuming job
+    # computes and caches the blocks and the other consumers reuse them —
+    # A/B on q_kg_triples: identical triples, ~0.2 s warm / several
+    # seconds first-run saved.
     labeled = (
         mentions.join(comp, mentions.mention_id == comp.id, "left")
         .select(
@@ -855,7 +870,7 @@ def canonical_map(
             F.coalesce("component", F.col("mention_id")).alias("component"),
         )
     )
-    labeled = _materialize(labeled)
+    labeled = _materialize(labeled, eager=False)
 
     # ONE aggregation pass picks both the representative surface (smallest
     # (norm, text) in the component) and the dictionary canonical id:
