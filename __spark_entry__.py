@@ -1553,11 +1553,12 @@ def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide heavy hitters over word trigrams (boilerplate/meme
-    phrase mining): CMS-candidate generation folded to literal lookup
-    arrays (map-side filter — the trigram stream is never fully shuffled
-    on its key) + exact verify of candidates only. theta = 1/5000 as
-    integer math. Output is exact, so the oracle is plain GROUP
-    BY/HAVING with no sketch modelling."""
+    phrase mining): CMS candidates attached via d per-hash-row BROADCAST
+    joins (width-independent — literal lookup arrays were measured as a
+    plan-cost trap, see sketches.heavy_hitters; the trigram stream is
+    never fully shuffled on its key) + exact verify of candidates only.
+    theta = 1/5000 as integer math. Output is exact, so the oracle is
+    plain GROUP BY/HAVING with no sketch modelling."""
     from ner_backend_spark.spark.sketches import heavy_hitters
     from ner_backend_spark.spark.textstats import word_ngrams, words_expr
 
