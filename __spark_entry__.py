@@ -1015,21 +1015,25 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set row, broadcast. Same grams as dedup.decontaminate
     # (words_expr + 8-grams, 2000-gram cap), so the oracle composes the
     # q_decontaminate SQL verbatim and still matches.
+    # words BOUND before word_ngrams captures them (word_ngrams docstring:
+    # an inline words_expr re-evaluates its regexp split per reference)
     bench_set = (
         docs.filter(F.col("doc_id") < 20)
+        .select(words_expr(F.col("text")).alias("_w"))
         .select(
             F.explode(
-                F.slice(word_ngrams(words_expr(F.col("text")), 8), 1, 2000)
+                F.slice(word_ngrams(F.col("_w"), 8), 1, 2000)
             ).alias("_g")
         )
         .agg(F.collect_set("_g").alias("_bg"))
     )
     sel = (
         base.crossJoin(F.broadcast(bench_set))
+        .withColumn("_cw", words_expr(F.col("text")))
         .withColumn(
             "_contaminated",
             F.arrays_overlap(
-                F.slice(word_ngrams(words_expr(F.col("text")), 8), 1, 2000),
+                F.slice(word_ngrams(F.col("_cw"), 8), 1, 2000),
                 F.col("_bg"),
             ),
         )
@@ -1563,8 +1567,9 @@ def _q_heavy_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ner_backend_spark.spark.textstats import word_ngrams, words_expr
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(word_ngrams(words_expr(F.col("text")), 3)).alias("term")
+    # words bound first — see word_ngrams' docstring
+    grams = docs.select(words_expr(F.col("text")).alias("_w")).select(
+        F.explode(word_ngrams(F.col("_w"), 3)).alias("term")
     )
     return heavy_hitters(
         grams, "term", theta_num=1, theta_den=5000, width=16384

@@ -117,23 +117,27 @@ def decontaminate(
 
     bench_text_col = bench_text_col or text_col
 
-    def grams_of(text_col_name: str):
-        return word_ngrams(words_expr(F.col(text_col_name)), n)
-
+    # words are BOUND in a prior select before word_ngrams captures them:
+    # an inline words_expr re-evaluates the regexp split per reference /
+    # per element (see word_ngrams' docstring) — the bound form cut the
+    # corpus gram pass 2.4 s -> 0.54 s at sf0.1 (round 8)
     bench_grams = (
-        benchmark.select(
+        benchmark.select(words_expr(F.col(bench_text_col)).alias("_w"))
+        .select(
             F.explode(
-                F.slice(grams_of(bench_text_col), 1, max_grams_per_doc)
+                F.slice(word_ngrams(F.col("_w"), n), 1, max_grams_per_doc)
             ).alias("gram")
         )
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     doc_grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(F.slice(grams_of(text_col), 1, max_grams_per_doc)).alias(
-            "gram"
-        ),
+        F.col(id_col).alias("_id"), words_expr(F.col(text_col)).alias("_w")
+    ).select(
+        "_id",
+        F.explode_outer(
+            F.slice(word_ngrams(F.col("_w"), n), 1, max_grams_per_doc)
+        ).alias("gram"),
     )
     counts = (
         doc_grams.join(F.broadcast(bench_grams), "gram", "left")
@@ -183,19 +187,21 @@ def bloom_decontaminate(
 
     bench_text_col = bench_text_col or text_col
 
-    def grams_of(text_col_name: str):
-        return word_ngrams(words_expr(F.col(text_col_name)), n)
-
+    # bound-words discipline: see decontaminate above / word_ngrams
     bench_grams = benchmark.select(
+        words_expr(F.col(bench_text_col)).alias("_w")
+    ).select(
         F.explode(
-            F.slice(grams_of(bench_text_col), 1, max_grams_per_doc)
+            F.slice(word_ngrams(F.col("_w"), n), 1, max_grams_per_doc)
         ).alias("gram")
     )
     bits = bloom_bits(bench_grams, "gram", k=k, m_bits=m_bits)
     doc_grams = df.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias("_id"), words_expr(F.col(text_col)).alias("_w")
+    ).select(
+        "_id",
         F.explode_outer(
-            F.slice(grams_of(text_col), 1, max_grams_per_doc)
+            F.slice(word_ngrams(F.col("_w"), n), 1, max_grams_per_doc)
         ).alias("gram"),
     )
     # distinct grams probe the filter once; per-doc occurrences of a gram

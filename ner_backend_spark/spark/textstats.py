@@ -218,11 +218,23 @@ def words_expr(text: Column) -> Column:
 
 
 def word_ngrams(words: Column, n: int) -> Column:
-    """Word n-gram array from a words array column — zip_with over n
-    offset slices so operands evaluate once per row (NOT
-    transform(sequence, i -> element_at(...)), whose lambda re-evaluates
-    the captured array expression per element — O(words²); see
-    add_repetition_stats). Shorter-than-n inputs yield []."""
+    """Word n-gram array from a words array column.
+
+    ``words`` SHOULD be a BOUND attribute (a column projected in a prior
+    select/withColumn), never an inline expression: the zip_with form
+    below evaluates an inline ``words`` once per slice — n regexp
+    re-splits per row, measured 2.4 s vs 0.89 s per 8-gram corpus pass
+    at sf0.1 (round 8; every in-tree call site now pre-projects the
+    words array). zip_with over n offset slices is kept over the
+    seemingly-cheaper transform(sequence, i -> concat_ws(slice(words,
+    i, n))) deliberately: CollapseProject can inline a single-referenced
+    bound column back INTO a lambda, where a captured expression tree
+    re-evaluates PER ELEMENT (the O(words²) re-split trap documented in
+    add_repetition_stats — re-measured in round 8: the transform form
+    regressed q_paragraph_dedup to 26 s when the optimizer collapsed the
+    binding projection). zip_with operands evaluate once per ROW no
+    matter what the optimizer does to the projection. Shorter-than-n
+    inputs yield []."""
     count = F.size(words) - (n - 1)
     parts = [F.slice(words, i + 1, count) for i in range(n)]
     out = parts[0]
@@ -326,17 +338,23 @@ def add_repetition_stats(
         contract and mirrored by the oracle.
     """
     t = F.col(text_col)
-    words = _words(t)
-    lines = _nonempty_lines(t)
+    # BIND the tokenization products to real columns before any of them
+    # is referenced more than once (or captured by a lambda): an inline
+    # words/lines expression re-evaluates its regexp split per reference,
+    # and a lambda-captured inline expression re-evaluates PER ELEMENT —
+    # the O(words²) re-split trap (measured 7 s for 5k docs vs 0.2 s).
+    # word_ngrams requires a bound attribute for the same reason.
+    df = (
+        df.withColumn("_rs_w", _words(t))
+        .withColumn("_rs_lines", _nonempty_lines(t))
+        .withColumn("_rs_head", F.slice(F.col("_rs_w"), 1, max_words))
+        .withColumn("_rs_bg", word_ngrams(F.col("_rs_head"), 2))
+    )
+    words = F.col("_rs_w")
+    lines = F.col("_rs_lines")
     n_lines1 = F.greatest(F.size(lines), F.lit(1))
     n_words1 = F.greatest(F.size(words), F.lit(1))
-    head = F.slice(words, 1, max_words)
-    # zip_with over offset slices (word_ngrams), NOT transform(sequence,
-    # i -> element_at(head, i)): a lambda body re-evaluates its captured
-    # expression tree per element, so the element_at form re-split the
-    # text once per bigram — O(words²) per row, measured 7 s for 5k docs
-    # vs 0.2 s for this form (operands of zip_with evaluate once per row).
-    bigrams = word_ngrams(head, 2)
+    bigrams = F.col("_rs_bg")
     # Mode count via sort + max equal-adjacent run length: array_sort is
     # native (no lambda) and the fold is LINEAR in the array. The naive
     # distinct×filter formulation is quadratic in *interpreted* lambda
@@ -373,7 +391,7 @@ def add_repetition_stats(
             - F.size(F.array_distinct(words)) / n_words1,
             "top_bigram_frac": top_bigram,
         }
-    )
+    ).drop("_rs_w", "_rs_lines", "_rs_head", "_rs_bg")
 
 
 # Deterministic linear quality model over the already-computed curation
