@@ -191,15 +191,24 @@ def _oriented_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("a").alias("node"), "deg"
     )
-    d1 = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    d2 = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    ranked = und.join(d1, "a").join(d2, "b")
+    # Orientation via TWO WINDOW counts over the symmetrized edges, not
+    # degree-groupBy + two edge⋈degree joins (round 8): every edge
+    # appears in sym in both directions, so count-over-partitionBy(a)
+    # is deg(first endpoint) and count-over-partitionBy(b) is
+    # deg(second endpoint); exactly one direction of each edge passes
+    # the lower-(deg, id) filter. Same oriented set, but the edge table
+    # crosses two exchanges instead of three (and no node-sized join
+    # sides to broadcast or sort) — the hot-node skew profile is
+    # unchanged: a hub's rows landed on one reducer under the join's
+    # hash partitioning too.
+    d = sym.withColumn(
+        "deg_a", F.count(F.lit(1)).over(Window.partitionBy("a"))
+    ).withColumn("deg_b", F.count(F.lit(1)).over(Window.partitionBy("b")))
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    oriented = d.filter(lower_first).select(
+        F.col("a").alias("lo"), F.col("b").alias("hi")
     )
     return deg, oriented
 
@@ -484,20 +493,29 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     prev_sum = None
     converged = False
     for _ in range(max_iter):
-        sym = cur.select(F.col("a").alias("node")).union(
-            cur.select(F.col("b").alias("node"))
+        # two-window peel round (round 8): symmetrize, attach each
+        # endpoint's degree via a window count (every edge appears in
+        # both directions, so partitionBy(a) counts deg(a) and
+        # partitionBy(b) counts deg(b)), keep the a<b direction of the
+        # edges whose BOTH endpoints survive — identical to the old
+        # degree-groupBy + two semi-joins, minus one exchange and the
+        # node-sized join sides.
+        sym = cur.union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        keep = (
-            sym.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("node")
-        )
-        nxt = (
-            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .select("a", "b")
-        )
+        d = sym.withColumn(
+            "deg_a", F.count(F.lit(1)).over(Window.partitionBy("a"))
+        ).withColumn("deg_b", F.count(F.lit(1)).over(Window.partitionBy("b")))
+        # the round state CARRIES the endpoint degrees: at the fixpoint
+        # (no edge dropped) they are by definition the degrees of the
+        # final core, so the old post-loop re-count (symmetrize +
+        # groupBy over the converged edges) is redundant — the answer
+        # reads straight off the last checkpointed round (round 8)
+        nxt = d.filter(
+            (F.col("deg_a") >= k)
+            & (F.col("deg_b") >= k)
+            & (F.col("a") < F.col("b"))
+        ).select("a", "b", "deg_a", "deg_b")
         nxt = nxt.localCheckpoint(eager=False)
         checksum = _edge_checksum_ab(nxt)
         if checksum == prev_sum:
@@ -505,15 +523,18 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
             cur = nxt
             break
         prev_sum = checksum
-        cur = nxt
+        cur = nxt.select("a", "b")
     if not converged:
         raise ValueError(
             f"k-core peel did not converge in {max_iter} rounds"
         )
-    sym = cur.select(F.col("a").alias("node")).union(
-        cur.select(F.col("b").alias("node"))
+    return (
+        cur.select(F.col("a").alias("node"), F.col("deg_a").alias("deg"))
+        .union(
+            cur.select(F.col("b").alias("node"), F.col("deg_b").alias("deg"))
+        )
+        .distinct()
     )
-    return sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
 
 def _edge_support(cur: DataFrame) -> DataFrame:
@@ -529,19 +550,20 @@ def _edge_support(cur: DataFrame) -> DataFrame:
     map-side-combined groupBy on edge keys. Only edges in >= 1 triangle
     appear — callers coalesce the rest to 0.
     """
+    # two-window orientation — same rewrite as _oriented_edges (round
+    # 8): each edge of sym carries deg(first endpoint) from a window
+    # over a and deg(second endpoint) from a window over b; one
+    # direction survives the lower-(deg, id) filter. Two exchanges per
+    # round instead of the degree groupBy + two edge⋈degree joins.
     sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
-        F.col("a").alias("node"), "deg"
-    )
-    d1 = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    d2 = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    ranked = cur.join(d1, "a").join(d2, "b")
+    d = sym.withColumn(
+        "deg_a", F.count(F.lit(1)).over(Window.partitionBy("a"))
+    ).withColumn("deg_b", F.count(F.lit(1)).over(Window.partitionBy("b")))
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    oriented = d.filter(lower_first).select(
+        F.col("a").alias("lo"), F.col("b").alias("hi")
     )
     x = oriented.alias("x")
     y = oriented.alias("y")
@@ -608,15 +630,25 @@ def truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     prev_sum = None
     converged = False
     for _ in range(max_iter):
-        sup = _edge_support(cur)
+        sup = _edge_support(cur.select("a", "b"))
+        # the round state CARRIES each surviving edge's support: at the
+        # fixpoint (no edge dropped) the support computed this round IS
+        # the support in the final truss, so the old post-loop
+        # _edge_support(cur) — a full extra wedge-enumeration pass over
+        # the converged graph — is redundant (round 8)
         nxt = (
-            cur.join(
+            cur.select("a", "b")
+            .join(
                 sup,
                 on=[F.col("a") == F.col("ea"), F.col("b") == F.col("eb")],
                 how="left",
             )
-            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
-            .select("a", "b")
+            .select(
+                "a",
+                "b",
+                F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            )
+            .filter(F.col("support") >= k - 2)
         )
         nxt = nxt.localCheckpoint(eager=False)
         checksum = _edge_checksum_ab(nxt)
@@ -628,17 +660,10 @@ def truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         cur = nxt
     if not converged:
         raise ValueError(f"k-truss peel did not converge in {max_iter} rounds")
-    return (
-        cur.join(
-            _edge_support(cur),
-            on=[F.col("a") == F.col("ea"), F.col("b") == F.col("eb")],
-            how="left",
-        )
-        .select(
-            F.col("a").alias("node_a"),
-            F.col("b").alias("node_b"),
-            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
-        )
+    return cur.select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "support",
     )
 
 
