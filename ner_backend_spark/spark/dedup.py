@@ -980,19 +980,19 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
     smaller than the corpus, which is exactly why the closure runs on it
     rather than on the corpus.
     """
+    from pyspark.sql import Window
+
     from .kg import connected_components
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     cc = connected_components(edges)
-    sizes = cc.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        cc.join(sizes, "component")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            "cluster_size",
-            (F.col("id") == F.col("component")).alias("is_kept"),
-        )
+    # cluster size as a window count over the assignment — one exchange
+    # on component, vs the old groupBy + join back (two exchanges and a
+    # component-sized join side at scale); identical rows (round 8)
+    size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        size.alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_kept"),
     )

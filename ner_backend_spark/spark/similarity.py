@@ -44,6 +44,25 @@ def _cosine(col_a, col_b):
     return dot / (norm_a * norm_b)
 
 
+def _norm(col):
+    """sqrt of the same sequential self-fold _cosine uses — precompute it
+    ONCE PER ROW (below a join boundary, so CollapseProject cannot inline
+    it back into the per-pair expression) and the per-pair cosine drops
+    from three array folds to one. dot/(norm_a*norm_b) with these norms
+    is BIT-IDENTICAL to _cosine: same fold, same sqrt, same operand
+    order (round 8 — the pair-join sites were paying 2/3 of their lambda
+    evaluations recomputing row-constant norms per pair)."""
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _dot(col_a, col_b):
+    return F.aggregate(
+        F.zip_with(col_a, col_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -209,21 +228,26 @@ def lsh_topk(
         .distinct()
     )
 
+    # norms precomputed once per row below the join boundary (_norm's
+    # docstring) — the per-candidate cosine then costs one fold, not three
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (
         cand_pairs.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -558,12 +582,15 @@ def semantic_dedup(
     over_cap = sizes.filter(F.col("_n") > max_cluster_size).select("cid")
     prunable = vecs.join(F.broadcast(over_cap), "cid", "left_anti")
 
+    # norms precomputed once per row below the join (_norm's docstring):
+    # the within-cluster pair predicate then folds each pair once (dot),
+    # not three times — bit-identical cosine by operand order
     a = prunable.select(
         "cid", F.col("id").alias("id_a"), F.col("vec").alias("vec_a")
-    )
+    ).withColumn("norm_a", _norm(F.col("vec_a")))
     b = prunable.select(
         "cid", F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
-    )
+    ).withColumn("norm_b", _norm(F.col("vec_b")))
     # duplicate side only: for each b, does any smaller-id a in the same
     # cluster sit above the threshold? LEFT SEMI keeps the probe one-sided
     # (no pair rows survive the join).
@@ -574,7 +601,8 @@ def semantic_dedup(
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.id_a") < F.col("b.id_b"))
             & (
-                _cosine(F.col("a.vec_a"), F.col("b.vec_b"))
+                _dot(F.col("a.vec_a"), F.col("b.vec_b"))
+                / (F.col("a.norm_a") * F.col("b.norm_b"))
                 >= F.lit(float(threshold))
             ),
             "left_semi",
