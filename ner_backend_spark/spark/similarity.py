@@ -75,20 +75,24 @@ def brute_force_topk(
     ``queries`` must be small (it is broadcast); candidates scan stays fully
     JVM-side — no Python in the hot path.
     """
+    # norms precomputed once per row below the join (_norm's docstring)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -358,13 +362,22 @@ def embedding_near_duplicates(
     must share a random-hyperplane bucket in >=1 of `tables` hash tables, so
     the shuffle key is (table, bucket) and no cross-join ever materializes.
     """
+    # norm precomputed once per row below the pair join (_norm docstring)
     vecs = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).withColumn("nrm", _norm(F.col("vec")))
     if method == "exact":
-        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        a = vecs.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        b = vecs.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         if dim is None:
@@ -384,15 +397,26 @@ def embedding_near_duplicates(
             )
             .distinct()
         )
-        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        a = vecs.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        b = vecs.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         raise ValueError(f"unknown method {method!r}")
     return pairs.select(
         "id_a",
         "id_b",
-        _cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        (
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -435,24 +459,28 @@ def ivf_topk(
         embeddings, dim, n_centroids, id_col, vec_col, seed, centroids=cents
     ).withColumnRenamed("id", "neighbor_id")
 
+    # norms precomputed once per row below the join (_norm's docstring)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     # per-query centroid scores -> sort desc -> keep nprobe -> explode
     scores = _centroid_scores("q_vec", cents)
     probes = q.select(
         "query_id",
         "q_vec",
+        "q_norm",
         F.explode(
             F.slice(F.sort_array(scores, asc=False), 1, nprobe)
         ).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.cid").alias("centroid_id"))
+    ).select(
+        "query_id", "q_vec", "q_norm", F.col("probe.cid").alias("centroid_id")
+    )
 
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -460,7 +488,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -271,10 +271,16 @@ def add_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     DuckDB oracle produce bit-identical doubles.
     """
     t = F.col(text_col)
-    words = _words(t)
+    # BIND words/lines once (word_ngrams-docstring discipline): inline,
+    # the tokenizing split re-evaluated per reference — four times for
+    # words, three for lines (round 8)
+    df = df.withColumn("_gq_w", _words(t)).withColumn(
+        "_gq_lines", _nonempty_lines(t)
+    )
+    words = F.col("_gq_w")
+    lines = F.col("_gq_lines")
     n_words = F.size(words)
     n_words1 = F.greatest(n_words, F.lit(1))
-    lines = _nonempty_lines(t)
     n_lines1 = F.greatest(F.size(lines), F.lit(1))
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
     n_ellipsis = (
@@ -307,7 +313,7 @@ def add_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             "alpha_word_frac": n_alpha_words / n_words1,
             "n_gopher_stopwords": sw_present,
         }
-    )
+    ).drop("_gq_w", "_gq_lines")
     return df.withColumn(
         "gopher_keep",
         (F.col("n_words") >= 50)
@@ -599,15 +605,20 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
-    words = words_expr(F.col(text_col))
 
     def _eq(term: str):
         # arity-1 closure: a 2-arg lambda (e.g. the `t=t` default-capture
         # idiom) would be treated by F.filter as an (element, index) lambda
         return lambda w: w == F.lit(term)
 
+    # words BOUND in a prior select (word_ngrams-docstring discipline):
+    # inline, the tokenizing regexp split re-evaluated once per reference
+    # — 1 + len(terms) splits of every document per scan (round 8)
+    words = F.col("_w")
     base = df.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias("_id"), words_expr(F.col(text_col)).alias("_w")
+    ).select(
+        "_id",
         F.size(words).alias("dl"),
         *[
             F.size(F.filter(words, _eq(t))).alias(f"_tf_{i}")
