@@ -836,15 +836,20 @@ def graph_summary(edges: DataFrame, round_digits: int = 6) -> DataFrame:
     )
     n = F.col("n_nodes").cast("double")
     m = (F.col("_degsum") / 2).cast("long")
+    # empty-graph guard (round-7 advice): n = 0 (and the impossible-but-
+    # cheap n = 1 for density) would divide by zero and emit NaN/NULL,
+    # diverging across engines — emit 0.0 instead
+    avg_deg = F.when(
+        F.col("n_nodes") > 0, F.col("_degsum").cast("double") / n
+    ).otherwise(F.lit(0.0))
+    density = F.when(
+        F.col("n_nodes") > 1,
+        F.col("_degsum").cast("double") / (n * (n - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
     return stats.select(
         "n_nodes",
         m.alias("n_edges"),
         "max_deg",
-        F.round(
-            F.col("_degsum").cast("double") / n, round_digits
-        ).alias("avg_deg"),
-        F.round(
-            F.col("_degsum").cast("double") / (n * (n - F.lit(1.0))),
-            round_digits,
-        ).alias("density"),
+        F.round(avg_deg, round_digits).alias("avg_deg"),
+        F.round(density, round_digits).alias("density"),
     )

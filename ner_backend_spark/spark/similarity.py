@@ -693,6 +693,12 @@ def pq_codebooks(
     train_centroids convention: ``sample_size`` lowest ids — bounded driver
     work at any corpus size; at web scale substitute a hash-sampled
     fraction without changing the operator shape)."""
+    if dim % n_blocks:
+        # _pq_train would silently drop the trailing dim % n_blocks
+        # dimensions (round-7 advice)
+        raise ValueError(
+            f"dim ({dim}) must be divisible by n_blocks ({n_blocks})"
+        )
     rows = (
         embeddings.select(
             F.col(id_col).alias("id"),
@@ -774,8 +780,11 @@ def pq_topk(
     linear-scan regime product quantization exists for (IVF prunes cells;
     PQ makes the residual scan ~n_blocks adds per vector).
 
-    Queries are the ``n_queries`` lowest ids (the q_lsh_ann/q_ivf_ann
-    convention); their dim-sized lookup tables are built driver-side from
+    Queries are the rows with ``id < n_queries`` — this assumes the
+    0-based contiguous id space of the gate fixtures (on a sparse id
+    space it selects fewer rows; use an orderBy(id).limit sample like
+    pq_codebooks if that matters — round-7 advice: the convention is a
+    GATE, not an ordering); their dim-sized lookup tables are built driver-side from
     one bounded collect and closed over by the scoring kernel — broadcast-
     sized state (n_queries * dim floats), never a shuffle. Scoring emits
     (query, neighbor, score) with score = LUT-sum / |x̂| (|q| is constant
@@ -897,6 +906,9 @@ def rrf_fuse(
     commutative-exact, ties break on the id column on both engines;
     the emitted score is rounded, the ORDER uses the raw double.
     """
+    if not rankings:
+        # round-7 advice: an empty list fell through to None.groupBy
+        raise ValueError("rankings must be non-empty")
     scored = None
     for r in rankings:
         s = r.select(
