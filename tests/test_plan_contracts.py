@@ -360,3 +360,33 @@ def test_label_propagation_per_round_plan_is_constant(spark):
     counts = [p.count("Exchange hashpartitioning") for p in round_plans]
     assert all(c <= 3 for c in counts), counts
     assert _plan(out).count("Exchange") == 0
+
+
+def test_heavy_hitters_probe_broadcast_only(spark):
+    """heavy_hitters' 100-TB claim (round-7 verdict #4, re-asserted after
+    the round-8 xxhash sketch change): the d candidate probes attach via
+    BROADCAST joins of the materialized sketch rows — the value stream
+    itself must cross exactly ONE hash-partition exchange in the whole
+    plan (the exact-verify groupBy, which runs ABOVE the candidate
+    filter, so only candidate occurrences shuffle), and never a
+    sort-merge or shuffled-hash join."""
+    import re
+
+    from ner_backend_spark.spark.sketches import heavy_hitters
+
+    depth = 4
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 50).cast("string").alias("v")
+    )
+    out = heavy_hitters(df, "v", theta_num=1, theta_den=100,
+                        depth=depth, width=256)
+    plan = _plan(out)
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("ShuffledHashJoin") == 0, plan
+    # d broadcast builds, one per sketch row
+    n_bcast = len(re.findall(r"BroadcastExchange", plan))
+    assert n_bcast == depth, plan
+    # exactly one plain (hash-partition) exchange: the exact-verify
+    # groupBy on the value column
+    n_plain_ex = len(re.findall(r"(?<!Broadcast)Exchange hashpartitioning", plan))
+    assert n_plain_ex == 1, plan
