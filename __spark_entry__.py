@@ -33,7 +33,25 @@ from ner_backend_spark.flagship import (  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Relation factory with a per-session memo of the scan DEFINITION
+    (logical plan + schema — never data, blocks, or results): every
+    ``spark.read.parquet`` of the same path re-lists the directory and
+    re-reads the parquet footer on the driver (~85 ms warm per call,
+    measured at sf0.1), which a catalog table pays once — the same
+    metadata cost guide-§6 file-listing caches and manifest formats
+    exist to avoid. The memo holds only the immutable DataFrame
+    definition; every action on it still scans parquet from disk."""
+    try:
+        cache = spark._graft_relations  # type: ignore[attr-defined]
+    except AttributeError:
+        cache = {}
+        spark._graft_relations = cache  # type: ignore[attr-defined]
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        cache[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
